@@ -1,0 +1,172 @@
+"""Anti-diagonal band construction.
+
+Re-expresses the reference's Band/BandIterator (impl/pairwiseAligner.c:
+89-277) as dense per-diagonal tensors: for each anti-diagonal xay = x+y in
+[0, lX+lY], the band is the xmy = x-y interval [offset, offset + 2*(width-1)].
+The parity invariant (xay+xmy) % 2 == 0 holds for every cell; a diagonal's
+cells map to slots j with xmy = offset + 2*j.
+
+The host computes (offsets, widths) once per pair (vectorized numpy over
+anchor segments — no per-diagonal Python loop); device kernels consume the
+tensors. Semantics match the C band math exactly (validated against the
+reference's hand-computed band walk, tests/pairwiseAlignerTest.c:69-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BandTensors:
+    """Per-diagonal band description for one pair.
+
+    offsets[k] = min xmy of diagonal k (xmyL), widths[k] = cell count.
+    len(offsets) == lX + lY + 1.
+    """
+
+    offsets: np.ndarray  # int32 (L+1,)
+    widths: np.ndarray  # int32 (L+1,)
+    lx: int
+    ly: int
+
+    @property
+    def diagonal_number(self) -> int:
+        return self.lx + self.ly
+
+    @property
+    def max_width(self) -> int:
+        return int(self.widths.max()) if len(self.widths) else 0
+
+    def max_xmy(self) -> np.ndarray:
+        return self.offsets + 2 * (self.widths - 1)
+
+
+def _set_diagonals(xay: np.ndarray, xL: int, yL: int, xU: int, yU: int):
+    """Vectorized band_setCurrentDiagonal (reference impl/pairwiseAligner.c:
+    104-122): intersect diagonal xay with the anchor rectangle, fixing
+    parity and clipping both ends."""
+    xmyL = np.full_like(xay, xL - yL)
+    xmyR = np.full_like(xay, xU - yU)
+    # band_avoidOffByOne (:94-96)
+    xmyL = np.where((xay + xmyL) % 2 != 0, xmyL + 1, xmyL)
+    xmyR = np.where((xay + xmyR) % 2 != 0, xmyR + 1, xmyR)
+    # Clip left end: X(xay, xmyL) >= xL and Y(xay, xmyL) <= yL (:116-117)
+    x = (xay + xmyL) // 2
+    xmyL = np.where(x < xL, xmyL + 2 * (xL - x), xmyL)
+    y = (xay - xmyL) // 2
+    xmyL = np.where(yL < y, xmyL + 2 * (y - yL), xmyL)
+    # Clip right end: X(xay, xmyR) <= xU and Y(xay, xmyR) >= yU (:118-119)
+    x = (xay + xmyR) // 2
+    xmyR = np.where(xU < x, xmyR - 2 * (x - xU), xmyR)
+    y = (xay - xmyR) // 2
+    xmyR = np.where(y < yU, xmyR - 2 * (yU - y), xmyR)
+    return xmyL, xmyR
+
+
+def _bound(z: int, l: int) -> int:
+    return 0 if z < 0 else (l if z > l else z)
+
+
+def construct_band(anchor_pairs, lx: int, ly: int, expansion: int | None = None) -> BandTensors:
+    """Build band tensors from anchor pairs.
+
+    anchor_pairs: sequence of (x, y) sequence coordinates (static expansion,
+    reference band_construct :183-234) or (x, y, expansion) triples when
+    `expansion` is None (dynamic, band_constructDynamic :128-181). Anchors
+    must be strictly monotone in both coordinates.
+    """
+    assert lx >= 0 and ly >= 0
+    dynamic = expansion is None
+    if not dynamic:
+        assert expansion % 2 == 0
+
+    n_diag = lx + ly
+    offsets = np.zeros(n_diag + 1, dtype=np.int64)
+    widths = np.zeros(n_diag + 1, dtype=np.int64)
+
+    anchors = list(anchor_pairs)
+    # Walk the anchor segments on the host (cheap: O(#anchors)); vectorize
+    # the per-diagonal interval math within each segment.
+    pxay, pxmy = 0, 0
+    nxay, nxmy = 0, 0
+    exp_cur = 0 if dynamic else expansion
+    rect = (0, 0, 0, 0)
+    anchor_idx = 0
+    xay = 0
+    seg_start = 0  # first diagonal the current rect applies to
+    while seg_start <= n_diag:
+        # Emit diagonals [seg_start .. min(nxay, n_diag)] under current rect.
+        seg_end = min(nxay, n_diag)
+        ks = np.arange(seg_start, seg_end + 1, dtype=np.int64)
+        if len(ks):
+            xmyL, xmyR = _set_diagonals(ks, *rect)
+            offsets[ks] = xmyL
+            widths[ks] = (xmyR - xmyL) // 2 + 1
+        if seg_end >= n_diag:
+            break
+        # Update at boundary xay == nxay (reference :144-177 / :200-230)
+        pxay, pxmy = nxay, nxmy
+        x, y = lx, ly
+        if anchor_idx < len(anchors):
+            anchor = anchors[anchor_idx]
+            anchor_idx += 1
+            x = int(anchor[0]) + 1  # matrix coordinates are +1 the sequence ones
+            y = int(anchor[1]) + 1
+            if dynamic:
+                exp_cur = int(anchor[2])
+                assert exp_cur >= 0 and exp_cur % 2 == 0
+            assert 0 < x <= lx and 0 < y <= ly
+        nxay = x + y
+        nxmy = x - y
+        # Anchor rectangle (reference :226-229); expansion is even and
+        # (xay+xmy) parity holds, so the divisions are exact.
+        rect = (
+            _bound((pxay + pxmy - exp_cur) // 2, lx),  # xL
+            _bound((nxay - nxmy + exp_cur) // 2, ly),  # yL
+            _bound((nxay + nxmy + exp_cur) // 2, lx),  # xU
+            _bound((pxay - pxmy - exp_cur) // 2, ly),  # yU
+        )
+        seg_start = seg_end + 1
+
+    return BandTensors(
+        offsets=offsets.astype(np.int32), widths=widths.astype(np.int32), lx=lx, ly=ly
+    )
+
+
+def full_band(lx: int, ly: int) -> BandTensors:
+    """Band covering the entire lx x ly matrix (no anchors)."""
+    ks = np.arange(lx + ly + 1, dtype=np.int64)
+    # Diagonal k spans x in [max(0, k-ly), min(k, lx)], xmy = 2x - k.
+    x_min = np.maximum(0, ks - ly)
+    x_max = np.minimum(ks, lx)
+    offsets = 2 * x_min - ks
+    widths = x_max - x_min + 1
+    return BandTensors(offsets=offsets.astype(np.int32), widths=widths.astype(np.int32), lx=lx, ly=ly)
+
+
+def pad_band(band: BandTensors, n_diag_padded: int, width_padded: int | None = None):
+    """Pad band tensors to a static bucket size for batched device use.
+
+    Padding diagonals repeat the final diagonal with width clamped to 1 so
+    padded scan steps are cheap no-ops; outputs there are masked by
+    valid_length.
+    Returns (offsets[int32 P+1], widths[int32 P+1], valid_length).
+    """
+    L = band.diagonal_number
+    assert n_diag_padded >= L
+    offsets = np.empty(n_diag_padded + 1, dtype=np.int32)
+    widths = np.empty(n_diag_padded + 1, dtype=np.int32)
+    offsets[: L + 1] = band.offsets
+    widths[: L + 1] = band.widths
+    if n_diag_padded > L:
+        # keep parity consistent with diagonal index so slot math stays exact
+        ks = np.arange(L + 1, n_diag_padded + 1, dtype=np.int32)
+        last = int(band.offsets[L])
+        offsets[L + 1 :] = last + ((ks - L) % 2)
+        widths[L + 1 :] = 1
+    if width_padded is not None and band.max_width > width_padded:
+        raise ValueError(f"band width {band.max_width} exceeds padded width {width_padded}")
+    return offsets, widths, L
