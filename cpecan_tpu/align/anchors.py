@@ -1,0 +1,283 @@
+"""Anchor generation: k-mer seed-and-chain, the lastz-subprocess replacement.
+
+The reference anchors large problems by piping sequences through a vendored
+lastz binary (`cPecanLastz --hspthresh=800 --chain --strand=plus --gapped
+--format=cigar`, impl/pairwiseAligner.c:1032-1061), converting the chained
+cigars to per-base match pairs (:979-1003), overlap-filtering (:1095-1135)
+and recursively re-anchoring large gaps (:1137-1196).
+
+Here anchoring is a host-side vectorized numpy stage (with an optional
+native C++ fast path): exact k-mer seeds -> diagonal-run merging -> weighted
+monotone chaining (Fenwick-tree LIS over y-ranks) -> per-base pairs with
+trim. The banding parameters downstream are forgiving (posteriors, not hard
+constraints), so chain quality, not exact lastz parity, is what matters;
+`filter_to_remove_overlap` and the gap recursion match the C semantics
+exactly.
+
+Repeat masking: lastz does not seed inside soft-masked (lowercase) repeat
+regions; we mirror that by skipping seeds whose k-mer window is lowercase,
+and the recursion unmasks (uppercases) small gap matrices exactly like the
+reference (getBlastPairs :1016-1019).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cpecan_tpu.config import PairwiseAlignmentParameters
+
+DEFAULT_KMER = 12
+MAX_KMER_OCCURRENCES = 32
+
+
+def _kmer_codes(seq: str, k: int, respect_mask: bool):
+    """Packed 2-bit k-mer codes per position (length len-k+1); -1 where the
+    window contains N or (when respect_mask) any lowercase base."""
+    n = len(seq)
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+    upper = raw & 0xDF  # ascii uppercase
+    code = np.full(n, -1, dtype=np.int64)
+    for i, b in enumerate(b"ACGT"):
+        code[upper == b] = i
+    invalid = code < 0
+    if respect_mask:
+        invalid |= raw >= ord("a")  # lowercase = repeat-masked
+
+    # rolling pack: kmer[i] = sum code[i+j] * 4^(k-1-j)
+    out = np.zeros(n - k + 1, dtype=np.int64)
+    bad = np.zeros(n - k + 1, dtype=bool)
+    c = np.where(invalid, 0, code)
+    for j in range(k):
+        out = out * 4 + c[j : n - k + 1 + j]
+        bad |= invalid[j : n - k + 1 + j]
+    out[bad] = -1
+    return out
+
+
+def find_seeds(seq_x: str, seq_y: str, k: int = DEFAULT_KMER,
+               respect_mask: bool = True,
+               max_occ: int = MAX_KMER_OCCURRENCES) -> np.ndarray:
+    """Exact k-mer matches between X and Y as an (n, 2) array of (x, y)
+    start positions. K-mers occurring more than max_occ times in either
+    sequence are dropped (repeat suppression, lastz's seed-count limiting)."""
+    kx = _kmer_codes(seq_x, k, respect_mask)
+    ky = _kmer_codes(seq_y, k, respect_mask)
+    if len(kx) == 0 or len(ky) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+
+    def positions(codes):
+        valid = np.nonzero(codes >= 0)[0]
+        if len(valid) == 0:
+            return (np.empty(0, np.int64),) * 4
+        order = valid[np.argsort(codes[valid], kind="stable")]
+        sorted_codes = codes[order]
+        starts = np.nonzero(np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])[0]
+        counts = np.diff(np.r_[starts, len(sorted_codes)])
+        return sorted_codes[starts], order, starts, counts
+
+    cx, ox, sx_starts, sx_counts = positions(kx)
+    cy, oy, sy_starts, sy_counts = positions(ky)
+    if len(cx) == 0 or len(cy) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+
+    # join the two sorted unique-code lists
+    ix = np.searchsorted(cy, cx)
+    ix_valid = (ix < len(cy))
+    shared = np.nonzero(ix_valid & (cy[np.clip(ix, 0, len(cy) - 1)] == cx))[0]
+
+    xs_list, ys_list = [], []
+    for ci in shared:
+        nx = sx_counts[ci]
+        yj = ix[ci]
+        ny = sy_counts[yj]
+        if nx > max_occ or ny > max_occ:
+            continue
+        px = ox[sx_starts[ci] : sx_starts[ci] + nx]
+        py = oy[sy_starts[yj] : sy_starts[yj] + ny]
+        grid = np.meshgrid(px, py, indexing="ij")
+        xs_list.append(grid[0].ravel())
+        ys_list.append(grid[1].ravel())
+    if not xs_list:
+        return np.empty((0, 2), dtype=np.int64)
+    seeds = np.stack([np.concatenate(xs_list), np.concatenate(ys_list)], axis=1)
+    return seeds[np.lexsort((seeds[:, 1], seeds[:, 0]))]
+
+
+def merge_seeds_to_runs(seeds: np.ndarray, k: int) -> np.ndarray:
+    """Merge diagonal-adjacent/overlapping seeds into maximal runs.
+    Returns (n, 3) array of (x, y, length)."""
+    if len(seeds) == 0:
+        return np.empty((0, 3), dtype=np.int64)
+    diag = seeds[:, 0] - seeds[:, 1]
+    order = np.lexsort((seeds[:, 0], diag))
+    s = seeds[order]
+    d = diag[order]
+    # a seed continues a run if same diagonal and x within k of previous end
+    new_run = np.r_[True, (d[1:] != d[:-1]) | (s[1:, 0] > s[:-1, 0] + k)]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.nonzero(new_run)[0]
+    n_runs = len(starts)
+    run_x = s[starts, 0]
+    run_y = s[starts, 1]
+    last_in_run = np.r_[starts[1:] - 1, len(s) - 1]
+    run_end = s[last_in_run, 0] + k
+    runs = np.stack([run_x, run_y, run_end - run_x], axis=1)
+    return runs[np.lexsort((runs[:, 1], runs[:, 0]))]
+
+
+class _FenwickMax:
+    """Fenwick tree over y-ranks holding (best score, best index)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.score = np.zeros(n + 1, dtype=np.int64)
+        self.idx = np.full(n + 1, -1, dtype=np.int64)
+
+    def update(self, i: int, score: int, idx: int):
+        i += 1
+        while i <= self.n:
+            if score > self.score[i]:
+                self.score[i] = score
+                self.idx[i] = idx
+            i += i & (-i)
+
+    def query(self, i: int):
+        """Max over ranks [0, i]."""
+        i += 1
+        best, bidx = 0, -1
+        while i > 0:
+            if self.score[i] > best:
+                best, bidx = self.score[i], self.idx[i]
+            i -= i & (-i)
+        return best, bidx
+
+
+def chain_runs(runs: np.ndarray) -> np.ndarray:
+    """Highest-weight chain of runs strictly monotone in both coordinates
+    (weight = matched bases). O(n log n) sparse DP, the --chain step."""
+    n = len(runs)
+    if n == 0:
+        return runs
+    # order by run END x so predecessors (whole run before our start) come first
+    x0, y0, ln = runs[:, 0], runs[:, 1], runs[:, 2]
+    x1, y1 = x0 + ln, y0 + ln
+
+    y_rank_of = {v: i for i, v in enumerate(np.unique(y1))}
+    y_vals = np.unique(y1)
+
+    order = np.argsort(x1, kind="stable")
+    fen = _FenwickMax(len(y_vals))
+    score = np.zeros(n, dtype=np.int64)
+    back = np.full(n, -1, dtype=np.int64)
+
+    # sweep by x-start; insert runs whose x-end <= current x-start
+    insert_order = order
+    ins_ptr = 0
+    proc_order = np.argsort(x0, kind="stable")
+    for i in proc_order:
+        while ins_ptr < n and x1[insert_order[ins_ptr]] <= x0[i]:
+            j = insert_order[ins_ptr]
+            fen.update(y_rank_of[y1[j]], score[j], j)
+            ins_ptr += 1
+        # best predecessor with y-end <= our y-start
+        r = int(np.searchsorted(y_vals, y0[i], side="right")) - 1
+        if r >= 0:
+            best, bidx = fen.query(r)
+        else:
+            best, bidx = 0, -1
+        score[i] = best + ln[i]
+        back[i] = bidx
+
+    best_i = int(np.argmax(score))
+    chain = []
+    while best_i >= 0:
+        chain.append(best_i)
+        best_i = int(back[best_i])
+    chain.reverse()
+    return runs[chain]
+
+
+def runs_to_anchor_pairs(runs: np.ndarray, trim: int, expansion: int) -> list:
+    """Per-base (x, y, expansion) triples from match runs, trimming `trim`
+    bases off each run end (reference anchor conversion :985-998)."""
+    anchors = []
+    for x, y, ln in runs:
+        for l in range(trim, ln - trim):
+            anchors.append((int(x + l), int(y + l), expansion))
+    return anchors
+
+
+def filter_to_remove_overlap(pairs: list) -> list:
+    """Keep the maximal subset of pairs strictly monotone in both coords.
+    Exact port of the two-pass backward/forward filter (reference
+    filterToRemoveOverlap, impl/pairwiseAligner.c:1095-1135). Input must be
+    sorted ascending (tuple order)."""
+    # backward pass: pairs strictly below the running minima
+    keep_set = set()
+    px = py = np.iinfo(np.int64).max
+    for pair in reversed(pairs):
+        x, y = pair[0], pair[1]
+        if x < px and y < py:
+            keep_set.add((x, y))
+        px = min(x, px)
+        py = min(y, py)
+    # forward pass: strictly above the running maxima and in the set
+    out = []
+    px = py = np.iinfo(np.int64).min
+    for pair in pairs:
+        x, y = pair[0], pair[1]
+        if x > px and y > py and (x, y) in keep_set:
+            out.append(pair)
+        px = max(x, px)
+        py = max(y, py)
+    return out
+
+
+def get_blast_pairs(seq_x: str, seq_y: str, trim: int, expansion: int,
+                    repeat_mask: bool, k: int = DEFAULT_KMER) -> list:
+    """Seed-and-chain anchor pairs for one rectangle, sorted by x+y
+    (the getBlastPairs contract, reference :1005-1080). When repeat_mask is
+    False the sequences are treated as unmasked (uppercased)."""
+    seeds = find_seeds(seq_x, seq_y, k=k, respect_mask=repeat_mask)
+    runs = merge_seeds_to_runs(seeds, k)
+    chained = chain_runs(runs)
+    pairs = runs_to_anchor_pairs(chained, trim, expansion)
+    pairs.sort(key=lambda p: p[0] + p[1])
+    return pairs
+
+
+def get_anchors(seq_x: str, seq_y: str, p: PairwiseAlignmentParameters,
+                k: int = DEFAULT_KMER) -> list:
+    """Two-level anchoring with recursive re-anchoring of large gaps
+    (reference getBlastPairsForPairwiseAlignmentParameters :1162-1196).
+    Returns (x, y, expansion) triples, strictly monotone in both coords."""
+    lx, ly = len(seq_x), len(seq_y)
+    if lx * ly <= p.anchorMatrixBiggerThanThis:
+        return []
+
+    top = get_blast_pairs(seq_x, seq_y, p.constraintDiagonalTrim,
+                          p.diagonalExpansion, repeat_mask=True, k=k)
+    top.sort()
+    top = filter_to_remove_overlap(top)
+
+    def re_anchor_gap(px, py, x, y, out):
+        lx2, ly2 = x - px, y - py
+        if lx2 * ly2 > p.anchorMatrixBiggerThanThis:
+            sub = get_blast_pairs(
+                seq_x[px:x], seq_y[py:y], p.constraintDiagonalTrim,
+                p.diagonalExpansion,
+                repeat_mask=lx2 * ly2 > p.repeatMaskMatrixBiggerThanThis, k=k)
+            sub.sort()
+            sub = filter_to_remove_overlap(sub)
+            out.extend((sx + px, sy + py, e) for sx, sy, e in sub)
+
+    combined: list = []
+    px, py = 0, 0
+    for x, y, e in top:
+        re_anchor_gap(px, py, x, y, combined)
+        combined.append((x, y, e))
+        px, py = x + 1, y + 1
+    re_anchor_gap(px, py, lx, ly, combined)
+    return combined

@@ -32,7 +32,7 @@ def concat_pairs(lists) -> np.ndarray:
     return np.concatenate(lists)
 
 
-def extract_pairs_from_posteriors(post, offsets, widths, L, threshold,
+def extract_pairs_from_posteriors(post, offsets, L, threshold,
                                   offset_x=0, offset_y=0) -> np.ndarray:
     """Threshold a dense (P+1, W) diagonal-slot posterior array into a pair
     list (addPosteriorProb semantics: clamp to 1, floor(p*1e7), store x-1,y-1;
