@@ -1,0 +1,545 @@
+"""Multiple sequence alignment drivers.
+
+Host-side greedy/progressive column merging over TPU-computed pairwise
+posterior matrices. Reference semantics (impl/multipleAligner.c):
+
+  - AlignmentWeight graph between columns, weight = posterior/1e7 (+ tiny
+    jitter to break ties, :140-147), weighted-average combining on column
+    merge (:242-246)
+  - greedy MSA: pop highest weight >= matchGamma, merge iff partial order
+    stays consistent (:272-297)
+  - progressive MSA: sparse weight-driven pairwise DP between two
+    column-sequences with a Pareto frontier of best scoring ColumnPairs
+    (:304-492), sequences merged in descending similarity order (:512-556)
+  - spanning-tree pair selection (:717-782), distance matrix (:809-839),
+    Dijkstra-gain next-best pair (:841-885)
+  - makeAlignment: spanning-tree rounds (:887-939)
+  - filterPairwiseAlignmentToMakePairsOrdered: 2-seq progressive MSA as the
+    default pairwise decode path (:945-971)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import random
+from bisect import bisect_left, bisect_right, insort
+
+import numpy as np
+
+from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.models.state_machine import StateMachine
+from cpecan_tpu.msa.columns import ColumnStore, ColumnDag
+from cpecan_tpu.ops import pairs as pairs_mod
+from cpecan_tpu.utils.logmath import PAIR_ALIGNMENT_PROB_1
+
+
+@dataclasses.dataclass
+class SeqFrag:
+    """Sequence + end ids; differing end ids between two frags => ragged
+    alignment ends (reference :24-36, used at :660-661)."""
+    seq: str
+    left_end_id: int = 0
+    right_end_id: int = 0
+
+    @property
+    def length(self) -> int:
+        return len(self.seq)
+
+
+MULTIPLE_PAIR_DTYPE = np.dtype([
+    ("prob", np.int64), ("seq1", np.int64), ("pos1", np.int64),
+    ("seq2", np.int64), ("pos2", np.int64),
+])
+
+
+class _Weight:
+    """Edge between two columns (column roots tracked via the store)."""
+
+    __slots__ = ("c1", "c2", "avg", "n", "alive")
+
+    def __init__(self, c1, c2, avg, n=1.0):
+        self.c1 = c1
+        self.c2 = c2
+        self.avg = avg
+        self.n = n
+        self.alive = True
+
+
+class WeightGraph:
+    """Column adjacency with weight-combining merges and a lazy max-heap."""
+
+    def __init__(self, store: ColumnStore, rng: random.Random):
+        self.store = store
+        self.adj: dict[int, dict[int, _Weight]] = {}
+        self.heap: list = []
+        self.rng = rng
+
+    def add_pair(self, prob, seq1, pos1, seq2, pos2):
+        c1 = self.store.find_pos(seq1, pos1)
+        c2 = self.store.find_pos(seq2, pos2)
+        # jitter breaks ties (reference :145)
+        avg = prob / PAIR_ALIGNMENT_PROB_1 + self.rng.random() * 0.00001
+        if c1 == c2:
+            return
+        existing = self.adj.get(c1, {}).get(c2)
+        if existing is not None:
+            # combine duplicate edges between the same columns up front
+            existing.avg = (existing.avg * existing.n + avg) / (existing.n + 1)
+            existing.n += 1
+            self._push(existing)
+            return
+        w = _Weight(c1, c2, avg)
+        self.adj.setdefault(c1, {})[c2] = w
+        self.adj.setdefault(c2, {})[c1] = w
+        self._push(w)
+
+    def _push(self, w: _Weight):
+        heapq.heappush(self.heap, (-w.avg, id(w), w))
+
+    def pop_max(self):
+        """Highest-weight live edge, or None."""
+        while self.heap:
+            neg_avg, _, w = heapq.heappop(self.heap)
+            if w.alive and -neg_avg == w.avg:
+                return w
+        return None
+
+    def degree(self, c: int) -> int:
+        return len(self.adj.get(self.store.find(c), {}))
+
+    def other(self, w: _Weight, c: int) -> int:
+        c1, c2 = self.store.find(w.c1), self.store.find(w.c2)
+        return c2 if c1 == self.store.find(c) else c1
+
+    def remove_edge(self, w: _Weight):
+        c1, c2 = self.store.find(w.c1), self.store.find(w.c2)
+        self.adj.get(c1, {}).pop(c2, None)
+        self.adj.get(c2, {}).pop(c1, None)
+        w.alive = False
+
+    def merge_columns(self, w: _Weight, dag: ColumnDag) -> int:
+        """Merge the two columns of w, re-targeting and weight-averaging
+        incident edges (reference mergeColumns :213-270). Smaller-degree
+        column merges into larger."""
+        c1, c2 = self.store.find(w.c1), self.store.find(w.c2)
+        if len(self.adj.get(c1, {})) < len(self.adj.get(c2, {})):
+            c1, c2 = c2, c1
+        self.remove_edge(w)
+        root = dag.merge(c1, c2)  # root is c1 (store unions b into a)
+        assert root == c1
+        edges2 = self.adj.pop(c2, {})
+        edges1 = self.adj.setdefault(c1, {})
+        for other_c, w2 in edges2.items():
+            other_root = self.store.find(other_c)
+            if other_root == c1:
+                w2.alive = False
+                continue
+            self.adj.get(other_root, {}).pop(c2, None)
+            w2.c1, w2.c2 = c1, other_root
+            existing = edges1.get(other_root)
+            if existing is not None:
+                existing.avg = (existing.avg * existing.n + w2.avg * w2.n) / (existing.n + w2.n)
+                existing.n += w2.n
+                w2.alive = False
+                self._push(existing)
+            else:
+                edges1[other_root] = w2
+                self.adj.setdefault(other_root, {})[c1] = w2
+                self._push(w2)
+        return c1
+
+
+def _make_graph(seq_frags, multiple_aligned_pairs, seed=0):
+    store = ColumnStore([f.length for f in seq_frags])
+    dag = ColumnDag(store)
+    graph = WeightGraph(store, random.Random(seed))
+    for p in multiple_aligned_pairs:
+        graph.add_pair(int(p["prob"]), int(p["seq1"]), int(p["pos1"]),
+                       int(p["seq2"]), int(p["pos2"]))
+    return store, dag, graph
+
+
+def get_multiple_sequence_alignment(seq_frags, multiple_aligned_pairs,
+                                    match_gamma: float) -> ColumnStore:
+    """Greedy poset MSA (reference :272-297)."""
+    store, dag, graph = _make_graph(seq_frags, multiple_aligned_pairs)
+    while True:
+        w = graph.pop_max()
+        if w is None or w.avg < match_gamma:
+            break
+        c1, c2 = store.find(w.c1), store.find(w.c2)
+        if c1 != c2 and dag.can_merge(c1, c2):
+            graph.merge_columns(w, dag)
+        else:
+            graph.remove_edge(w)
+    return store
+
+
+def _pairwise_align_columns(x_cols: list, y_cols: list, graph: WeightGraph,
+                            dag: ColumnDag, match_gamma: float) -> list:
+    """Sparse Pareto-frontier DP aligning two column-sequences, then merge
+    the chosen column pairs (reference pairwiseAlignColumns :358-492).
+    Returns the merged column sequence."""
+    store = graph.store
+
+    def total_weights(cols):
+        return sum(graph.degree(c) for c in cols)
+
+    if total_weights(x_cols) > total_weights(y_cols):
+        x_cols, y_cols = y_cols, x_cols
+
+    y_index = {store.find(c): i for i, c in enumerate(y_cols)}
+
+    # frontier: list of (yIndex, score, node) sorted by yIndex with scores
+    # increasing; node = (xIndex, yIndex, score, prev_node, weight)
+    min_node = (-1, -1, 0.0, None, None)
+    frontier_y = [-1, len(y_cols)]
+    max_node = (len(x_cols), len(y_cols), float("inf"), min_node, None)
+    frontier_n = [min_node, max_node]
+
+    for i, cx in enumerate(x_cols):
+        cxr = store.find(cx)
+        edges = graph.adj.get(cxr)
+        if not edges:
+            continue
+        candidates = []
+        for other_c, w in list(edges.items()):
+            if not w.alive:
+                continue
+            if w.avg >= match_gamma and w.avg > 0.0:
+                yi = y_index.get(store.find(other_c))
+                if yi is None:
+                    continue
+                # best frontier point strictly left of yi
+                k = bisect_left(frontier_y, yi) - 1
+                prev = frontier_n[k]
+                score = prev[2] + w.avg * w.n
+                candidates.append((i, yi, score, prev, w))
+        # insert candidates right-to-left along Y
+        candidates.sort(key=lambda t: t[1])
+        for cand in reversed(candidates):
+            _, yi, score, _, _ = cand
+            k = bisect_left(frontier_y, yi)
+            # frontier point equal-or-right of yi
+            if score >= frontier_n[k][2] or frontier_y[k] > yi:
+                while score >= frontier_n[k][2]:
+                    frontier_y.pop(k)
+                    frontier_n.pop(k)
+                frontier_y.insert(k, yi)
+                frontier_n.insert(k, cand)
+
+    # link the max sentinel to the right-most real point
+    last = frontier_n[-2]
+    max_node = (len(x_cols), len(y_cols), float("inf"), last, None)
+
+    # traceback, emitting columns right-to-left
+    alignment = []
+    node = max_node
+    while True:
+        xi, yi, _, prev, _ = node
+        assert prev is not None
+        py = prev[1]
+        while yi - 1 > py:
+            yi -= 1
+            alignment.append(y_cols[yi])
+        px = prev[0]
+        while xi - 1 > px:
+            xi -= 1
+            alignment.append(x_cols[xi])
+        node = prev
+        if node is min_node:
+            break
+        w = node[4]
+        if w.alive:
+            merged = graph.merge_columns(w, dag)
+        else:
+            # edge was combined away by an earlier merge in this traceback;
+            # merge via the surviving edge between the same column roots
+            a, b = store.find(w.c1), store.find(w.c2)
+            if a == b:
+                merged = a
+            else:
+                surviving = graph.adj.get(a, {}).get(b)
+                if surviving is None:
+                    surviving = _Weight(a, b, 0.0, 0.0)
+                    graph.adj.setdefault(a, {})[b] = surviving
+                    graph.adj.setdefault(b, {})[a] = surviving
+                merged = graph.merge_columns(surviving, dag)
+        alignment.append(merged)
+    alignment.reverse()
+    return alignment
+
+
+def get_multiple_sequence_alignment_progressive(
+        seq_frags, multiple_aligned_pairs, match_gamma: float,
+        seq_pair_similarity_scores) -> ColumnStore:
+    """Progressive MSA merging sequences in descending similarity order
+    (reference :512-556). seq_pair_similarity_scores: (score, seq1, seq2)."""
+    store, dag, graph = _make_graph(seq_frags, multiple_aligned_pairs)
+    col_seqs = [
+        [store.pid(s, p) for p in range(f.length)] for s, f in enumerate(seq_frags)
+    ]
+    group = list(range(len(seq_frags)))  # seq -> column-sequence group id
+
+    order = sorted(seq_pair_similarity_scores)
+    while order:
+        _, seq_x, seq_y = order.pop()
+        gx, gy = group[seq_x], group[seq_y]
+        if gx == gy:
+            continue
+        merged_cols = _pairwise_align_columns(
+            col_seqs[gx], col_seqs[gy], graph, dag, match_gamma)
+        col_seqs.append(merged_cols)
+        new_g = len(col_seqs) - 1
+        for s in range(len(group)):
+            if group[s] in (gx, gy):
+                group[s] = new_g
+    return store
+
+
+def filter_multiple_aligned_pairs(store: ColumnStore, multiple_aligned_pairs):
+    """Keep pairs whose two positions landed in the same column
+    (reference :569-602)."""
+    if len(multiple_aligned_pairs) == 0:
+        return multiple_aligned_pairs
+    c1 = np.array([store.find_pos(int(p["seq1"]), int(p["pos1"]))
+                   for p in multiple_aligned_pairs])
+    c2 = np.array([store.find_pos(int(p["seq2"]), int(p["pos2"]))
+                   for p in multiple_aligned_pairs])
+    return multiple_aligned_pairs[c1 == c2]
+
+
+def filter_pairwise_alignment_to_make_pairs_ordered(aligned_pairs, seq_x, seq_y,
+                                                    match_gamma: float):
+    """Default pairwise decode path: run the 2-seq progressive MSA over the
+    posterior pairs and keep the consistent subset (reference :945-971)."""
+    mpairs = np.empty(len(aligned_pairs), dtype=MULTIPLE_PAIR_DTYPE)
+    mpairs["prob"] = aligned_pairs["prob"]
+    mpairs["seq1"] = 0
+    mpairs["pos1"] = aligned_pairs["x"]
+    mpairs["seq2"] = 1
+    mpairs["pos2"] = aligned_pairs["y"]
+    frags = [SeqFrag(seq_x), SeqFrag(seq_y)]
+    store = get_multiple_sequence_alignment_progressive(
+        frags, mpairs, match_gamma, [(0, 0, 1)])
+    kept = filter_multiple_aligned_pairs(store, mpairs)
+    return pairs_mod.make_pairs(kept["prob"], kept["pos1"], kept["pos2"])
+
+
+# ---------------------------------------------------------------------------
+# Pair selection and the top-level makeAlignment drivers
+# ---------------------------------------------------------------------------
+
+def _get_alignment_score(aligned_pairs, l1: int, l2: int) -> int:
+    """Normalised avg posterior that a position in the shorter seq is
+    aligned (reference getAlignmentScore :604-619)."""
+    total = int(aligned_pairs["prob"].sum()) if len(aligned_pairs) else 0
+    j = max(1, min(l1, l2))
+    d = min(1.0, max(0.0, total / (j * PAIR_ALIGNMENT_PROB_1)))
+    return int(d * PAIR_ALIGNMENT_PROB_1)
+
+
+def _add_multiple_aligned_pairs(sm, seq1, seq2, seq_frags, pair_lists, p):
+    """Pairwise align two frags, reweight, convert to 5-tuples; returns
+    similarity score (reference addMultipleAlignedPairs :653-666)."""
+    from cpecan_tpu.align import pairwise
+
+    f1, f2 = seq_frags[seq1], seq_frags[seq2]
+    aligned = pairwise.get_aligned_pairs(
+        sm, f1.seq, f2.seq, p,
+        ragged_left=f1.left_end_id != f2.left_end_id,
+        ragged_right=f1.right_end_id != f2.right_end_id)
+    aligned = pairs_mod.reweight_aligned_pairs(aligned, f1.length, f2.length, p.gapGamma)
+    score = _get_alignment_score(aligned, f1.length, f2.length)
+    m = np.empty(len(aligned), dtype=MULTIPLE_PAIR_DTYPE)
+    m["prob"] = aligned["prob"]
+    m["seq1"] = seq1
+    m["pos1"] = aligned["x"]
+    m["seq2"] = seq2
+    m["pos2"] = aligned["y"]
+    pair_lists.append(m)
+    return score
+
+
+def get_reference_pairwise_alignments(seq_frags) -> list:
+    """n-1 seed pairs grouped by shared right-end ids with middle-element
+    references (reference :717-770)."""
+    chosen: list = []
+    if not seq_frags:
+        return chosen
+    l = sorted((f.right_end_id, f.length, i) for i, f in enumerate(seq_frags))
+
+    def pick(sub):
+        ref = sub[len(sub) // 2][2]
+        for item in sub:
+            if item[2] != ref:
+                a, b = ref, item[2]
+                chosen.append((min(a, b), max(a, b)))
+        return sub[len(sub) // 2]
+
+    groups = []
+    start = 0
+    for j in range(1, len(l) + 1):
+        if j == len(l) or l[j][0] != l[start][0]:
+            groups.append(pick(l[start:j]))
+            start = j
+    pick(groups)
+    assert len(chosen) == len(seq_frags) - 1
+    return chosen
+
+
+def get_distance_matrix(store: ColumnStore, seq_frags, max_pairs_to_consider: int):
+    """Substitution/identity counts from columns (reference :809-839).
+    Returns (subs, identities) matrices: subs[i,j] for i>j, identities for
+    i<j in the reference's packed layout; here two symmetric matrices."""
+    n = len(seq_frags)
+    subs = np.zeros((n, n), dtype=np.int64)
+    idents = np.zeros((n, n), dtype=np.int64)
+    considered = 0
+    for _, members in store.all_columns().items():
+        if considered >= max_pairs_to_consider:
+            break
+        for a in range(len(members)):
+            s1, p1 = members[a]
+            b1 = seq_frags[s1].seq[p1]
+            for b in range(a + 1, len(members)):
+                s2, p2 = members[b]
+                b2 = seq_frags[s2].seq[p2]
+                if b1 == b2:
+                    idents[s1, s2] += 1
+                    idents[s2, s1] += 1
+                else:
+                    subs[s1, s2] += 1
+                    subs[s2, s1] += 1
+                considered += 1
+    return subs, idents
+
+
+def subs_per_site(subs, idents, s1, s2) -> float:
+    tot = subs[s1, s2] + idents[s1, s2]
+    return 0.0 if tot == 0 else subs[s1, s2] / tot
+
+
+def _dijkstra(n, edges, src):
+    dist = [float("inf")] * n
+    dist[src] = 0.0
+    q = [(0.0, src)]
+    while q:
+        d, u = heapq.heappop(q)
+        if d > dist[u]:
+            continue
+        for v, w in edges.get(u, ()):  # (neighbor, weight)
+            nd = d + w
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(q, (nd, v))
+    return dist
+
+
+def get_next_best_pair(seq1, subs, idents, chosen_pairs, rng: random.Random):
+    """Max (path distance - direct distance) gain pair via Dijkstra over the
+    chosen-pair graph (reference :858-885)."""
+    n = subs.shape[0]
+    edges: dict[int, list] = {}
+    for a, b in chosen_pairs:
+        w = subs_per_site(subs, idents, a, b)
+        edges.setdefault(a, []).append((b, w))
+        edges.setdefault(b, []).append((a, w))
+    dist = _dijkstra(n, edges, seq1)
+    max_gain, best = float("-inf"), None
+    for seq2 in range(n):
+        if seq2 == seq1:
+            continue
+        gain = dist[seq2] - subs_per_site(subs, idents, seq1, seq2)
+        if gain > max_gain or (gain == max_gain and rng.random() > 0.5):
+            pair = (min(seq1, seq2), max(seq1, seq2))
+            if pair not in chosen_pairs:
+                max_gain, best = gain, seq2
+    return best
+
+
+@dataclasses.dataclass
+class MultipleAlignment:
+    """Result bundle (reference inc/multipleAligner.h MultipleAlignment)."""
+    columns: ColumnStore
+    aligned_pairs: np.ndarray  # consistent 5-tuples
+    chosen_pairwise_alignments: list  # (score, seq1, seq2)
+
+    def column_list(self):
+        """Columns as lists of (seq, pos), sorted for deterministic output."""
+        cols = [sorted(m) for m in self.columns.all_columns().values()]
+        cols.sort()
+        return cols
+
+
+def make_alignment_using_all_pairs(sm: StateMachine, seq_frags,
+                                   use_progressive_merging: bool,
+                                   match_gamma: float,
+                                   p: PairwiseAlignmentParameters) -> MultipleAlignment:
+    """All-vs-all MSA (reference :683-699)."""
+    pair_lists: list = []
+    scores = []
+    n = len(seq_frags)
+    for s1 in range(n):
+        for s2 in range(s1 + 1, n):
+            scores.append((
+                _add_multiple_aligned_pairs(sm, s1, s2, seq_frags, pair_lists, p),
+                s1, s2))
+    mpairs = (np.concatenate(pair_lists) if pair_lists
+              else np.empty(0, dtype=MULTIPLE_PAIR_DTYPE))
+    if n == 2 or use_progressive_merging:
+        store = get_multiple_sequence_alignment_progressive(
+            seq_frags, mpairs, match_gamma, scores)
+    else:
+        store = get_multiple_sequence_alignment(seq_frags, mpairs, match_gamma)
+    return MultipleAlignment(
+        columns=store,
+        aligned_pairs=filter_multiple_aligned_pairs(store, mpairs),
+        chosen_pairwise_alignments=scores)
+
+
+def make_alignment(sm: StateMachine, seq_frags, spanning_trees: int,
+                   max_pairs_to_consider: int, use_progressive_merging: bool,
+                   match_gamma: float, p: PairwiseAlignmentParameters,
+                   seed: int = 0) -> MultipleAlignment:
+    """Spanning-tree MSA rounds (reference makeAlignment :887-939)."""
+    n = len(seq_frags)
+    if spanning_trees * (n - 1) >= (n * (n - 1)) // 2:
+        return make_alignment_using_all_pairs(
+            sm, seq_frags, use_progressive_merging, match_gamma, p)
+
+    rng = random.Random(seed)
+    pair_lists: list = []
+    chosen_set = set(get_reference_pairwise_alignments(seq_frags))
+    chosen_scored = []
+    for s1, s2 in sorted(chosen_set):
+        chosen_scored.append((
+            _add_multiple_aligned_pairs(sm, s1, s2, seq_frags, pair_lists, p),
+            s1, s2))
+
+    iteration = 0
+    while True:
+        mpairs = (np.concatenate(pair_lists) if pair_lists
+                  else np.empty(0, dtype=MULTIPLE_PAIR_DTYPE))
+        if n == 2 or use_progressive_merging:
+            store = get_multiple_sequence_alignment_progressive(
+                seq_frags, mpairs, match_gamma, chosen_scored)
+        else:
+            store = get_multiple_sequence_alignment(seq_frags, mpairs, match_gamma)
+        iteration += 1
+        if iteration >= spanning_trees:
+            return MultipleAlignment(
+                columns=store,
+                aligned_pairs=filter_multiple_aligned_pairs(store, mpairs),
+                chosen_pairwise_alignments=chosen_scored)
+        subs, idents = get_distance_matrix(store, seq_frags, max_pairs_to_consider)
+        for seq in range(n):
+            other = get_next_best_pair(seq, subs, idents, chosen_set, rng)
+            if other is not None:
+                pair = (min(seq, other), max(seq, other))
+                chosen_scored.append((
+                    _add_multiple_aligned_pairs(sm, pair[0], pair[1],
+                                                seq_frags, pair_lists, p),
+                    pair[0], pair[1]))
+                chosen_set.add(pair)
