@@ -53,6 +53,8 @@ class Hmm:
             (s, SYMBOL_NUMBER_NO_N, SYMBOL_NUMBER_NO_N), pseudo_expectation, dtype=np.float64
         )
         self.likelihood = 0.0
+        # per-EM-iteration likelihood trace (cPecanEm.py Hmm:26,49)
+        self.running_likelihoods: list[float] = []
 
     # ------------------------------------------------------------------ math
     def normalise(self) -> None:
@@ -67,6 +69,31 @@ class Hmm:
         self.emissions = rng.random(self.emissions.shape)
         self.normalise()
 
+    def equalise(self) -> None:
+        """All-equal probabilities (cPecanEm.py Hmm.equalise :82-86)."""
+        s = self.state_number
+        self.transitions = np.full((s, s), 1.0 / s)
+        self.emissions = np.full(self.emissions.shape, 1.0 / 16.0)
+
+    def set_emissions_to_jukes_cantor(self, divergence: float) -> None:
+        """Jukes-Cantor match/mismatch emission init for every state
+        (cPecanEm.py :88-94)."""
+        same = (0.25 + 0.75 * np.exp(-4.0 * divergence / 3.0)) / 4.0
+        diff = (0.25 - 0.25 * np.exp(-4.0 * divergence / 3.0)) / 4.0
+        e = np.full((SYMBOL_NUMBER_NO_N, SYMBOL_NUMBER_NO_N), diff)
+        np.fill_diagonal(e, same)
+        self.emissions[:] = e[None, :, :]
+
+    def tie_emissions(self) -> None:
+        """Replace each state's emissions with identity/difference tied
+        values preserving overall identity expectation (cPecanEm.py :96-105)."""
+        for state in range(self.state_number):
+            e = self.emissions[state]
+            identity = float(np.trace(e))
+            tied = np.full((4, 4), (1.0 - identity) / 12.0)
+            np.fill_diagonal(tied, identity / 4.0)
+            self.emissions[state] = tied
+
     def add_expectations(self, other: "Hmm") -> None:
         """Sum another Hmm's expectation counts into this one (the EM gather
         reduction; cPecanEm.py:37-43)."""
@@ -77,19 +104,24 @@ class Hmm:
         self.likelihood += other.likelihood
 
     # ------------------------------------------------------------------- I/O
-    def write(self, fh: TextIO) -> None:
+    def write(self, fh: TextIO, precise: bool = False) -> None:
         """Reference 2-line text format (impl/stateMachine.c:133-143):
-        line 1: type, S*S transitions, likelihood (all '%f', tab separated);
-        line 2: S*16 emissions."""
+        line 1: type, S*S transitions, likelihood; line 2: S*16 emissions.
+        precise=True writes full-precision floats (the EM pipeline's model
+        files, cPecanEm.py Hmm.write :31-35); otherwise C's '%f'. A third
+        line with running likelihoods is appended when present."""
+        fmt = (lambda v: repr(float(v))) if precise else (lambda v: f"{v:f}")
         parts = [f"{int(self.type)}"]
-        parts += [f"{v:f}" for v in self.transitions.reshape(-1)]
-        parts += [f"{self.likelihood:f}"]
+        parts += [fmt(v) for v in self.transitions.reshape(-1)]
+        parts += [fmt(self.likelihood)]
         fh.write("\t".join(parts) + "\n")
-        fh.write("\t".join(f"{v:f}" for v in self.emissions.reshape(-1)) + "\t\n")
+        fh.write("\t".join(fmt(v) for v in self.emissions.reshape(-1)) + "\t\n")
+        if self.running_likelihoods:
+            fh.write("\t".join(repr(float(v)) for v in self.running_likelihoods) + "\n")
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, precise: bool = False) -> None:
         with open(path, "w") as fh:
-            self.write(fh)
+            self.write(fh, precise=precise)
 
     def dumps(self) -> str:
         buf = io.StringIO()
@@ -118,6 +150,9 @@ class Hmm:
         hmm.emissions = np.array([float(v) for v in line2], dtype=np.float64).reshape(
             s, SYMBOL_NUMBER_NO_N, SYMBOL_NUMBER_NO_N
         )
+        line3 = fh.readline().split()
+        if line3:
+            hmm.running_likelihoods = [float(v) for v in line3]
         return hmm
 
     @classmethod
