@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark: pair-HMM DP cells/sec/chip.
+
+Runs the batched banded forward-backward posterior pass (the framework's
+hot path) on the available accelerator over a batch of ~1 kb read pairs,
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the measured single-core C cell-update rate
+(native/bench_cells.c, the reference's per-cell arithmetic with
+lookup-based logAdd), built on first use. DP cells are counted as in-band
+(diagonal, slot) positions; each requires one forward and one backward
+5-state update.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cpecan_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from cpecan_tpu.models.state_machine import state_machine5
+from cpecan_tpu.ops import fb_batch
+from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils.symbols import encode
+
+SEQ_LEN = 1000
+BATCH = 64
+EXPANSION = 20  # default diagonalExpansion
+
+
+def measure_c_baseline() -> float:
+    """Build + run the single-core C micro-benchmark; returns cells/s."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "bench_cells.c")
+    exe = os.path.join(here, "native", "bench_cells")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(["gcc", "-O3", "-o", exe, src, "-lm"], check=True,
+                           capture_output=True)
+        out = subprocess.run([exe], check=True, capture_output=True, text=True,
+                             timeout=300)
+        return float(out.stdout.split()[1])
+    except Exception:
+        return 5.0e6  # conservative single-core estimate if toolchain absent
+
+
+def build_batch(rng):
+    """Banded ~1kb pairs: anchors every 50 bp on the identity diagonal with
+    the default expansion (the anchored-banded benchmark config)."""
+    sxs, sys_, offs, wids, lxs, lys = [], [], [], [], [], []
+    P = 2048
+    W = 128
+    cells = 0
+    for _ in range(BATCH):
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=SEQ_LEN))
+        anchors = [(i, i) for i in range(25, SEQ_LEN - 25, 50)]
+        band = construct_band(anchors, SEQ_LEN, SEQ_LEN, EXPANSION)
+        o, w, L = pad_band(band, P, W)
+        cells += int(band.widths.sum())
+        sx = np.zeros(P, np.int32)
+        sx[:SEQ_LEN] = encode(seq)
+        sxs.append(sx)
+        sys_.append(sx)
+        offs.append(o)
+        wids.append(w)
+        lxs.append(SEQ_LEN)
+        lys.append(SEQ_LEN)
+    return (np.stack(sxs), np.stack(sys_), np.stack(offs), np.stack(wids),
+            np.asarray(lxs, np.int32), np.asarray(lys, np.int32), W, cells)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    sx, sy, offsets, widths, lx, ly, W, cells = build_batch(rng)
+    params = state_machine5().device_params()
+    rl = np.zeros(BATCH, bool)
+    rr = np.zeros(BATCH, bool)
+
+    args = [jnp.asarray(a) for a in (sx, sy, offsets, widths, lx, ly, rl, rr)]
+
+    def run():
+        out = fb_batch.fb_pass_batch(params, *args, mode="posterior_match",
+                                     width=W)
+        # force execution + host transfer (block_until_ready alone can be
+        # lazy on experimental remote backends)
+        return float(jnp.sum(out["post_match"]))
+
+    run()  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+
+    cells_per_sec = cells / dt
+    baseline = measure_c_baseline()
+    print(json.dumps({
+        "metric": "pairhmm_dp_cells_per_sec_per_chip",
+        "value": round(cells_per_sec),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

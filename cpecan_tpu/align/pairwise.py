@@ -56,8 +56,8 @@ def _run_chunk(sm: StateMachine, seq_x: str, seq_y: str, anchors,
         band = construct_band(
             [(a[0], a[1]) for a in anchors], lx, ly, p.diagonalExpansion)
     P = _bucket(band.diagonal_number)
-    W = _width_bucket(band.max_width)
-    offsets, widths, L = pad_band(band, P, W)
+    W = _width_bucket(band.frame_width())
+    offsets, widths, L = pad_band(band, P)
 
     sx = np.zeros(P, dtype=np.int32)
     sy = np.zeros(P, dtype=np.int32)

@@ -163,7 +163,7 @@ def expectation_step(sm: StateMachine, tasks: list,
         band = construct_band([(a[0], a[1]) for a in t.anchors],
                               len(t.sub_x), len(t.sub_y), p.diagonalExpansion)
         P = _bucket(band.diagonal_number)
-        W = _width_bucket(band.max_width)
+        W = _width_bucket(band.frame_width())
         buckets.setdefault((P, W), []).append((t, band))
 
     n_dev = 1 if mesh is None else mesh.devices.size

@@ -40,6 +40,16 @@ class BandTensors:
     def max_width(self) -> int:
         return int(self.widths.max()) if len(self.widths) else 0
 
+    def frame_width(self) -> int:
+        """Slot-window width of the engine's x-frame: max over diagonals of
+        (right x edge) - cummax(left x edge) + 1. Equals max_width except
+        where the band's left edge locally retreats (anchor boundaries)."""
+        ks = np.arange(len(self.offsets), dtype=np.int64)
+        xlo = (ks + self.offsets) // 2
+        xhi = xlo + self.widths - 1
+        xoff = np.maximum.accumulate(xlo)
+        return int((xhi - xoff + 1).max()) if len(ks) else 0
+
     def max_xmy(self) -> np.ndarray:
         return self.offsets + 2 * (self.widths - 1)
 
@@ -167,6 +177,7 @@ def pad_band(band: BandTensors, n_diag_padded: int, width_padded: int | None = N
         last = int(band.offsets[L])
         offsets[L + 1 :] = last + ((ks - L) % 2)
         widths[L + 1 :] = 1
-    if width_padded is not None and band.max_width > width_padded:
-        raise ValueError(f"band width {band.max_width} exceeds padded width {width_padded}")
+    if width_padded is not None and band.frame_width() > width_padded:
+        raise ValueError(
+            f"band frame width {band.frame_width()} exceeds padded width {width_padded}")
     return offsets, widths, L

@@ -1,31 +1,40 @@
-"""Banded pair-HMM forward-backward on anti-diagonal wavefronts (lax.scan).
+"""Banded pair-HMM forward-backward on anti-diagonal wavefronts.
 
 TPU-native re-design of the reference banded FB engine
-(impl/pairwiseAligner.c:756-949). Differences by design:
+(impl/pairwiseAligner.c:756-949). Design (see SURVEY.md section 7):
 
- * The reference walks diagonals serially per-cell with a callback per
-   transition; here each diagonal is a dense (S, W) log-space tensor and the
-   whole cell update is three masked-shift + logsumexp contractions (one per
-   neighbor class), vectorized across the band width.
+ * **Scaled-probability space.** The reference computes in log space with
+   an approximate lookup logAdd (:287-307); log-space cell updates are
+   transcendental-bound. Here every diagonal is stored as probabilities
+   normalized by the diagonal max (the classic scaled pair-HMM
+   formulation): the cell update is one small matrix contraction — pure
+   multiply-add — and one scalar log per diagonal records the scale
+   (mf/mb). Cells more than ~87 nats below the per-diagonal max flush to
+   zero in fp32; those posteriors are < 1e-30. Global log-likelihoods
+   recombine the per-diagonal scale logs in float64 on the host.
 
- * The reference bounds memory with traceback windows and re-estimates the
-   total probability every 10 diagonals (:830-838). Here every diagonal is
-   normalized against its OWN exact total probability (forward.backward dot
-   plus the match "bridge" correction, the semantics of
-   diagonalCalculationTotalProbability :636-653), so posteriors are
-   self-normalized per diagonal and immune to log-scale drift. Memory is
-   bounded by jax.checkpoint-style chunked recompute (see fb_chunked).
+ * **x-frame sliding window.** Band cells are indexed by x: slot j of
+   diagonal k holds the cell with x = xoff[k] + j, where xoff = cummax of
+   the band's left x edge. x changes by at most 1 per diagonal, so xoff
+   advances by delta in {0,1} per step and every neighbor access is a
+   2-3 way select between *static* shifts — no data-dependent gathers in
+   the hot loop (vmapped dynamic-slice lowers to TPU gather, measured
+   10-20x slower than the arithmetic).
 
- * Doubles + approximate logAdd lookup (:287-307) become fp32 + exact
-   logaddexp with per-diagonal max-rescaling: every stored diagonal is
-   shifted so its max is 0; the shifts (mf/mb) are emitted per-diagonal and
-   recombined in float64 on the host for global log-likelihoods.
+ * **Lean scans, vectorized reductions.** The sequential scans compute
+   only the forward/backward value recursions and emit all diagonals
+   (F_all/B_all). Per-diagonal totals (forward.backward dot plus the match
+   "bridge" correction — semantics of diagonalCalculationTotalProbability
+   :636-653), posteriors and EM expectation counts are computed afterwards
+   as big batched einsums over the whole (P, S, W) tensors — no scan
+   overhead on them. Normalizing every diagonal by its own exact total
+   also makes posteriors immune to scale drift (the reference re-estimates
+   the total every 10 diagonals for the same reason, :830-838).
 
 Cell/neighbor geometry (reference :609-624): cell (xay=k, xmy) has
-  lower  = (k-1, xmy-1)  consuming X  (gap-X transitions)
-  middle = (k-2, xmy)    consuming XY (match transitions)
-  upper  = (k-1, xmy+1)  consuming Y  (gap-Y transitions)
-A diagonal's cells live at slots j with xmy = offset[k] + 2*j, j < width[k].
+  lower  = (k-1, xmy-1)  consuming X  (gap-X transitions)   x' = x-1
+  middle = (k-2, xmy)    consuming XY (match transitions)   x' = x-1
+  upper  = (k-1, xmy+1)  consuming Y  (gap-Y transitions)   x' = x
 """
 
 from __future__ import annotations
@@ -36,171 +45,197 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = -jnp.inf
+# Sentinel symbol for out-of-sequence positions: its one-hot row over
+# arange(5) is all-zero, so any emission probability computed from it is 0.
+_SENTINEL = 5
 
-# Symbol code for N — index 4 of the padded emission tables.
-_N = 4
-
-# State-machine param pytree keys (see StateMachine.device_params):
-#   t: (3, S, S) stacked [t_x, t_m, t_y]; em_match (5,5); em_gap_x/y (5,)
-#   start / ragged_start / end / ragged_end: (S,)
+_UNROLL = 4
 
 
-def _shift_slots(arr: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """out[..., j] = arr[..., j + d], padding with -inf out of range."""
-    W = arr.shape[-1]
-    padded = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(W, W)], constant_values=NEG_INF)
-    d = jnp.clip(d, -W, W)
-    start = (0,) * (arr.ndim - 1) + (W + d,)
-    return jax.lax.dynamic_slice(padded, start, arr.shape)
+def _shift_right(arr, fill=0.0):
+    """out[..., j] = arr[..., j-1]."""
+    return jnp.concatenate(
+        [jnp.full_like(arr[..., :1], fill), arr[..., :-1]], axis=-1)
 
 
-def _lse(a, axis):
-    return jax.nn.logsumexp(a, axis=axis)
+def _shift_left(arr, fill=0.0):
+    """out[..., j] = arr[..., j+1]."""
+    return jnp.concatenate(
+        [arr[..., 1:], jnp.full_like(arr[..., :1], fill)], axis=-1)
 
 
-def _diag_coords(k, o_k, W):
-    """x,y coordinates of the W slots of diagonal k."""
-    j = jnp.arange(W, dtype=jnp.int32)
-    x0 = (k + o_k) // 2
-    y0 = (k - o_k) // 2
-    return x0 + j, y0 - j
+def _select_shift(arr, amount):
+    """out[..., j] = arr[..., j + amount] for amount in {-1, 0, +1}; the
+    amount may be a traced scalar or an array broadcastable against arr's
+    leading axes. Out-of-range reads 0."""
+    amount = jnp.asarray(amount)
+    shape = amount.shape + (1,) * (arr.ndim - amount.ndim)
+    amount = amount.reshape(shape)
+    return jnp.where(
+        amount == 0, arr,
+        jnp.where(amount == 1, _shift_left(arr), _shift_right(arr)))
 
 
-def _cell_symbols(sx, sy, xs, ys, lx, ly):
-    """Symbols at cells (xs, ys): index i reads sequence position i-1;
-    out-of-range coordinates read as N (reference getX/YCharacter :597-607)."""
-    symx = jnp.where(
-        (xs >= 1) & (xs <= lx), sx[jnp.clip(xs - 1, 0, sx.shape[0] - 1)], _N
-    )
-    symy = jnp.where(
-        (ys >= 1) & (ys <= ly), sy[jnp.clip(ys - 1, 0, sy.shape[0] - 1)], _N
-    )
-    return symx, symy
+def _symbol_windows(seq_padded, starts, W):
+    """Windows seq_padded[starts[k] + j] for j in [0, W): one slice-gather.
+    seq_padded must carry sentinel padding so out-of-range indices are
+    in-bounds. Returns (P+1, W) int8."""
+    def slice_one(s):
+        return jax.lax.dynamic_slice(seq_padded, (s,), (W,))
+
+    return jax.vmap(slice_one)(starts)
 
 
-def _forward_step(params, sx, sy, lx, ly, carry, inputs):
-    """One forward wavefront step: compute diagonal k from k-1, k-2."""
-    F1, F2, o1, o2, m1 = carry
-    k, o_k, w_k = inputs
-    W = F1.shape[-1]
-    t_x, t_m, t_y = params["t"][0], params["t"][1], params["t"][2]
-
-    d1 = (o_k - 1 - o1) // 2
-    d2 = (o_k - o2) // 2
-    lower = _shift_slots(F1, d1)
-    upper = _shift_slots(F1, d1 + 1)
-    middle = _shift_slots(F2, d2) - m1  # bring F2 into F1's scale frame
-
-    xs, ys = _diag_coords(k, o_k, W)
-    symx, symy = _cell_symbols(sx, sy, xs, ys, lx, ly)
-    e_x = params["em_gap_x"][symx]  # (W,)
-    e_y = params["em_gap_y"][symy]
-    e_m = params["em_match"][symx, symy]
-
-    # cur[to, j] = logsumexp_from(neighbor[from, j] + t_c[from, to]) + e_c[j]
-    cx = _lse(lower[:, None, :] + t_x[:, :, None], axis=0) + e_x[None, :]
-    cm = _lse(middle[:, None, :] + t_m[:, :, None], axis=0) + e_m[None, :]
-    cy = _lse(upper[:, None, :] + t_y[:, :, None], axis=0) + e_y[None, :]
-    cur = jnp.logaddexp(jnp.logaddexp(cx, cy), cm)
-
-    slot_ok = jnp.arange(W, dtype=jnp.int32) < w_k
-    cur = jnp.where(slot_ok[None, :], cur, NEG_INF)
-
-    m = jnp.max(cur)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    F_new = cur - m
-    new_carry = (F_new, F1, o_k, o1, m)
-    return new_carry, (F_new, m)
+def _prob_params(params):
+    """Log-space StateMachine params -> probability space."""
+    return {
+        "t": jnp.exp(params["t"]),  # (3, S, S)
+        "em_match": jnp.exp(params["em_match"]),  # (5, 5)
+        "em_gap_x": jnp.exp(params["em_gap_x"]),  # (5,)
+        "em_gap_y": jnp.exp(params["em_gap_y"]),
+        "start": jnp.exp(params["start"]),
+        "ragged_start": jnp.exp(params["ragged_start"]),
+        "end": jnp.exp(params["end"]),
+        "ragged_end": jnp.exp(params["ragged_end"]),
+    }
 
 
-def forward_sweep(params, sx, sy, offsets, widths, lx, ly, ragged_left, width):
-    """Run the forward recursion over all (padded) diagonals.
-
-    Returns (F_all [P+1,S,W] shifted log-forward values, mf [P+1] shifts).
-    True F_k = F_all[k] + sum(mf[:k+1]).
-    """
-    S = params["start"].shape[0]
+def _frame_from_band(offsets, widths):
+    """x-frame tensors from (offsets, widths) band tensors: xoff (window
+    start), delta = xoff step in {0,1}, jlo/jhi slot bounds."""
     P = offsets.shape[0] - 1
-    W_static = width
+    ks = jnp.arange(P + 1, dtype=jnp.int32)
+    xlo = (ks + offsets) // 2
+    xhi = xlo + widths - 1
+    xoff = jax.lax.cummax(xlo)
+    delta = jnp.diff(xoff, prepend=xoff[:1])
+    jlo = xlo - xoff
+    jhi = xhi - xoff
+    return xoff, delta, jlo, jhi
 
-    start_vec = jnp.where(ragged_left, params["ragged_start"], params["start"])
-    F0 = jnp.full((S, W_static), NEG_INF, dtype=jnp.float32)
-    F0 = F0.at[:, 0].set(start_vec)  # diagonal 0 is the single cell (0,0)
 
-    ks = jnp.arange(1, P + 1, dtype=jnp.int32)
-    step = functools.partial(_forward_step, params, sx, sy, lx, ly)
-    init = (F0, jnp.full((S, W_static), NEG_INF, jnp.float32),
-            offsets[0], offsets[0] - 1, jnp.float32(0.0))
-    _, (F_rest, mf_rest) = jax.lax.scan(step, init, (ks, offsets[1:], widths[1:]))
+def _one_hot(sym, n=5):
+    """(..., W) int symbols -> (..., W, n) float32 one-hot; sentinel rows
+    are all-zero."""
+    return (sym[..., None] == jnp.arange(n, dtype=sym.dtype)).astype(jnp.float32)
+
+
+def _emissions(prob, wsymx, wsymy):
+    """Per-slot emission probabilities for symbol windows: returns
+    (e_x, e_y, e_m) each with the windows' shape."""
+    ohx = _one_hot(wsymx)
+    ohy = _one_hot(wsymy)
+    e_x = ohx @ prob["em_gap_x"]
+    e_y = ohy @ prob["em_gap_y"]
+    e_m = jnp.sum((ohx @ prob["em_match"]) * ohy, axis=-1)
+    return e_x, e_y, e_m
+
+
+def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
+    """Forward recursion in scaled-prob space.
+
+    e_* are (P+1, W) per-diagonal emission rows (for the cell's own
+    consumed symbols, x-1 / y-1 indexed).
+    Returns (F_all [P+1,S,W] per-diagonal-normalized forward probs,
+    mf [P+1] log scales). True logF_k = log(F_all[k]) + sum(mf[:k+1]).
+    """
+    S = prob["start"].shape[0]
+    P = delta.shape[0] - 1
+    W = width
+    # stacked transition matrix: rows are (class, from) pairs
+    t_cat = prob["t"].reshape(3 * S, S)  # [x; m; y]
+
+    start_vec = jnp.where(ragged_left, prob["ragged_start"], prob["start"])
+    F0 = jnp.zeros((S, W), jnp.float32).at[:, 0].set(start_vec)
+    m0 = jnp.max(F0)
+    m0 = jnp.where(m0 > 0, m0, 1.0)
+    F0 = F0 / m0
+
+    js = jnp.arange(W, dtype=jnp.int32)
+
+    def step(carry, inputs):
+        F1, F2, inv_m1 = carry
+        d_k, d_km1, jlo_k, jhi_k, ex_k, ey_k, em_k = inputs
+
+        # lower (x-1 @ k-1): shift d_k - 1; upper (x @ k-1): d_k;
+        # middle (x-1 @ k-2): d_k + d_km1 - 1  (all in {-1, 0, 1})
+        lower = _select_shift(F1, d_k - 1) * ex_k[None, :]
+        upper = _select_shift(F1, d_k) * ey_k[None, :]
+        middle = _select_shift(F2, d_k + d_km1 - 1) * (inv_m1 * em_k)[None, :]
+
+        stacked = jnp.concatenate([lower, middle, upper], axis=0)  # (3S, W)
+        cur = jnp.einsum("Fj,Ft->tj", stacked, t_cat)
+        cur = cur * ((js >= jlo_k) & (js <= jhi_k))[None, :]
+
+        m = jnp.max(cur)
+        m = jnp.where(m > 0, m, 1.0)
+        F_new = cur / m
+        return (F_new, F1, 1.0 / m), (F_new, jnp.log(m))
+
+    inputs = (delta[1:], delta[:-1], jlo[1:], jhi[1:],
+              e_x[1:], e_y[1:], e_m[1:])
+    init = (F0, jnp.zeros((S, W), jnp.float32), jnp.float32(1.0))
+    _, (F_rest, mf_rest) = jax.lax.scan(step, init, inputs, unroll=_UNROLL)
 
     F_all = jnp.concatenate([F0[None], F_rest], axis=0)
-    mf = jnp.concatenate([jnp.zeros((1,), jnp.float32), mf_rest])
+    mf = jnp.concatenate([jnp.log(m0)[None], mf_rest])
     return F_all, mf
 
 
-def _backward_value_step(params, sx, sy, lx, ly, L, end_vec, carry, inputs):
-    """Compute shifted B_k from B_{k+1}, B_{k+2} (with the k==L init
-    override), returning also the shift mb_k."""
-    B1, B2, mb1 = carry
-    k, o_k, o_k1, o_k2, w_k = inputs
-    W = B1.shape[-1]
-    S = B1.shape[0]
-    t_x, t_m, t_y = params["t"][0], params["t"][1], params["t"][2]
+def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
+    """Backward recursion in scaled-prob space.
 
-    xs, ys = _diag_coords(k, o_k, W)
-    # Future-cell emissions: x-class consumes x+1 (symbol index x), m-class
-    # consumes (x+1, y+1), y-class consumes y+1 (symbol index y).
-    symx_f, symy_f = _cell_symbols(sx, sy, xs + 1, ys + 1, lx, ly)
-    e_x = params["em_gap_x"][symx_f]
-    e_y = params["em_gap_y"][symy_f]
-    e_m = params["em_match"][symx_f, symy_f]
+    ef_* are (P+1, W) future-cell emission rows (x / y indexed: the
+    emissions consumed moving OUT of each cell).
+    Returns (B_all [P+1,S,W], mb [P+1] log scales).
+    True logB_k = log(B_all[k]) + sum(mb[k:L+1]).
+    """
+    S = end_vec.shape[0]
+    P = delta.shape[0] - 1
+    W = width
+    # backward stacked transitions: contribution[f,j] = sum_c,t T_c[f,t]*n_c[t,j]
+    t_cat_b = jnp.concatenate([prob["t"][0], prob["t"][1], prob["t"][2]], axis=1)  # (S, 3S)
 
-    u1 = (o_k + 1 - o_k1) // 2
-    u2 = (o_k - o_k2) // 2
-    bx = _shift_slots(B1, u1)  # B_{k+1} slots receiving our x-transitions
-    by = _shift_slots(B1, u1 - 1)
-    bm = _shift_slots(B2, u2) - mb1  # frame adjust k+2 -> k+1
+    js = jnp.arange(W, dtype=jnp.int32)
+    delta_pad = jnp.concatenate([delta, jnp.zeros((2,), delta.dtype)])
 
-    # raw[from, j] = logsumexp_to(t_c[from,to] + B_next[to, j]) + e_c[j]
-    cx = _lse(t_x[:, :, None] + bx[None, :, :], axis=1) + e_x[None, :]
-    cm = _lse(t_m[:, :, None] + bm[None, :, :], axis=1) + e_m[None, :]
-    cy = _lse(t_y[:, :, None] + by[None, :, :], axis=1) + e_y[None, :]
-    raw = jnp.logaddexp(jnp.logaddexp(cx, cy), cm)
+    def step(carry, inputs):
+        B1, B2, inv_mb1 = carry
+        k, d_k1, d_k2, jlo_k, jhi_k, efx_k, efy_k, efm_k = inputs
+        slot_ok = (js >= jlo_k) & (js <= jhi_k)
 
-    slot_ok = jnp.arange(W, dtype=jnp.int32) < w_k
-    raw = jnp.where(slot_ok[None, :], raw, NEG_INF)
+        # receive from k+1: x-class at j+1-d_k1, y-class at j-d_k1;
+        # from k+2: m-class at j+1-d_k1-d_k2. Emissions are functions of
+        # the CURRENT cell, so multiply after shifting.
+        bx = _select_shift(B1, 1 - d_k1) * efx_k[None, :]
+        by = _select_shift(B1, -d_k1) * efy_k[None, :]
+        bm = _select_shift(B2, 1 - d_k1 - d_k2) * (inv_mb1 * efm_k)[None, :]
 
-    at_end = k == L
-    init_row = jnp.where(slot_ok[None, :], end_vec[:, None], NEG_INF)
-    raw = jnp.where(at_end, init_row, raw)
+        stacked = jnp.concatenate([bx, bm, by], axis=0)  # (3S, W)
+        raw = jnp.einsum("tj,ft->fj", stacked, t_cat_b)
+        raw = raw * slot_ok[None, :]
 
-    m = jnp.max(raw)
-    m = jnp.where(jnp.isfinite(m) & ~at_end, m, 0.0)
-    B_new = raw - m
+        at_end = k == L
+        raw = jnp.where(at_end, end_vec[:, None] * slot_ok[None, :], raw)
 
-    B1_next = B_new
-    B2_next = jnp.where(at_end, jnp.full_like(B1, NEG_INF), B1)
-    mb1_next = jnp.where(at_end, 0.0, m)
-    return (B1_next, B2_next, mb1_next), B_new, m, B1
+        m = jnp.max(raw)
+        m = jnp.where((m > 0) & ~at_end, m, 1.0)
+        B_k = raw / m
+        B2_next = jnp.where(at_end, jnp.zeros_like(B1), B1)
+        inv_next = jnp.where(at_end, 1.0, 1.0 / m)
+        return (B_k, B2_next, inv_next), (B_k, jnp.log(m))
 
+    ks_rev = jnp.arange(P, -1, -1, dtype=jnp.int32)
+    inputs = (ks_rev, delta_pad[1:][ks_rev], delta_pad[2:][ks_rev],
+              jlo[ks_rev], jhi[ks_rev],
+              ef_x[ks_rev], ef_y[ks_rev], ef_m[ks_rev])
+    init = (jnp.zeros((S, W), jnp.float32), jnp.zeros((S, W), jnp.float32),
+            jnp.float32(1.0))
+    _, (B_rev, mb_rev) = jax.lax.scan(step, init, inputs, unroll=_UNROLL)
 
-def _bridge(params, sx, sy, lx, ly, F_km1, B_kp1, k, o_km1, o_kp1, w_kp1):
-    """Match-bridge total-probability correction: probability mass of paths
-    crossing diagonal k via a single match transition from k-1 to k+1
-    (reference diagonalCalculationTotalProbability :643-651). Returned in
-    the mixed frame cf_{k-1}+cb_{k+1}."""
-    W = F_km1.shape[-1]
-    t_m = params["t"][1]
-    dm = (o_kp1 - o_km1) // 2
-    mid = _shift_slots(F_km1, dm)
-    xs, ys = _diag_coords(k + 1, o_kp1, W)
-    symx, symy = _cell_symbols(sx, sy, xs, ys, lx, ly)
-    e_m = params["em_match"][symx, symy]
-    M = _lse(mid[:, None, :] + t_m[:, :, None], axis=0) + e_m[None, :]
-    slot_ok = jnp.arange(W, dtype=jnp.int32) < w_kp1
-    M = jnp.where(slot_ok[None, :], M, NEG_INF)
-    return _lse(M + B_kp1, axis=(0, 1))
+    B_all = jnp.flip(B_rev, axis=0)
+    mb = jnp.flip(mb_rev, axis=0)
+    return B_all, mb
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "width"))
@@ -210,33 +245,55 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     """Full banded forward-backward pass for one (padded) pair.
 
     Args:
-      params: StateMachine.device_params() pytree.
-      sx, sy: int32 padded symbol arrays.
+      params: StateMachine.device_params() pytree (log space).
+      sx, sy: int padded symbol arrays.
       offsets, widths: int32 (P+1,) padded band tensors (pad_band).
       lx, ly: true sequence lengths (traced scalars). L = lx + ly.
       ragged_left/right: bool scalars selecting ragged start/end dists
         (reference getPosteriorProbsWithBanding args :756-758).
       mode: "posterior_match" | "posterior_all" | "expectation" | "forward".
+      width: static slot-window size; must be >= BandTensors.frame_width().
 
     Returns a dict:
-      always: "mf","mb" (P+1,) per-diagonal scale shifts; "log_fwd"
-        raw end dot at L (true forward log-prob = log_fwd + sum mf, host f64);
+      always: "mf","mb" (P+1,) per-diagonal log scales; "log_fwd" raw end
+        dot at L (true forward log-prob = log_fwd + sum(mf[:L+1]), host f64)
       posterior modes: "post_match" (P+1, W) posterior probs (0 outside
-        band/valid); posterior_all adds "post_gap_x","post_gap_y";
-      expectation: "trans" (S,S), "emis" (S,4,4) expected counts, and
-        "total_raw" (P+1,) per-diagonal raw totals for likelihood.
+        band/valid), slot j of diagonal k = cell x = xoff[k] + j;
+        posterior_all adds "post_gap_x","post_gap_y"
+      expectation: "trans" (S,S), "emis" (S,4,4) expected counts and
+        "total_raw" (P+1,) per-diagonal raw log totals for the likelihood.
     """
     S = params["start"].shape[0]
     P = offsets.shape[0] - 1
+    W = width
     L = lx + ly
+    prob = _prob_params(params)
 
-    F_all, mf = forward_sweep(params, sx, sy, offsets, widths, lx, ly,
-                              ragged_left, width)
-    W = F_all.shape[-1]
+    xoff, delta, jlo, jhi = _frame_from_band(offsets, widths)
 
-    end_vec = jnp.where(ragged_right, params["ragged_end"], params["end"])
-    # Raw forward end-dot per diagonal; valid at k == L.
-    fe = _lse(F_all + end_vec[None, :, None], axis=(1, 2))
+    # Symbol windows (one batched slice-gather each; sentinel-padded).
+    LX = sx.shape[0]
+    LY = sy.shape[0]
+    sx_s = jnp.where(jnp.arange(LX) < lx, sx, _SENTINEL).astype(jnp.int8)
+    sy_s = jnp.where(jnp.arange(LY) < ly, sy, _SENTINEL).astype(jnp.int8)
+    sy_rev = jnp.flip(sy_s)  # sy_rev[i] = sy[LY-1-i]
+    pad = jnp.full((W + 1,), _SENTINEL, jnp.int8)
+    sx_pad = jnp.concatenate([pad, sx_s, pad])
+    sy_pad = jnp.concatenate([pad, sy_rev, pad])
+    ks = jnp.arange(P + 1, dtype=jnp.int32)
+    # own-cell symbols (x-1 / y-1): sy index y-1 -> sy_rev index LY-y
+    wsymx = _symbol_windows(sx_pad, xoff - 1 + (W + 1), W)
+    wsymy = _symbol_windows(sy_pad, LY - ks + xoff + (W + 1), W)
+    # future-cell symbols (x / y)
+    wsymx_f = _symbol_windows(sx_pad, xoff + (W + 1), W)
+    wsymy_f = _symbol_windows(sy_pad, LY - ks + xoff - 1 + (W + 1), W)
+
+    e_x, e_y, e_m = _emissions(prob, wsymx, wsymy)
+    F_all, mf = forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi,
+                              ragged_left, W)
+
+    end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
+    fe = jnp.log(jnp.einsum("ksj,s->k", F_all, end_vec))
     log_fwd = fe[jnp.clip(L, 0, P)]
 
     out = {"mf": mf, "log_fwd": log_fwd}
@@ -244,117 +301,104 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
         out["mb"] = jnp.zeros_like(mf)
         return out
 
-    # Padded arrays for k+1 / k+2 lookups.
-    off_pad = jnp.concatenate([offsets, offsets[-1:] + 1, offsets[-1:]])
-    w_pad = jnp.concatenate([widths, jnp.zeros((2,), widths.dtype)])
-    mf_pad = jnp.concatenate([jnp.zeros((1,), mf.dtype), mf])  # mf_pad[k] = mf[k-1]
+    ef_x, ef_y, ef_m = _emissions(prob, wsymx_f, wsymy_f)
+    B_all, mb = backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi,
+                               L, end_vec, W)
+    out["mb"] = mb
 
-    ks = jnp.arange(P, -1, -1, dtype=jnp.int32)  # P .. 0
+    # ---- vectorized per-diagonal totals: dot + match bridge ----
+    dot = jnp.einsum("ksj,ksj->k", F_all, B_all)
 
-    def bwd_step(carry, k):
-        o_k = off_pad[k]
-        o_k1 = off_pad[k + 1]
-        o_k2 = off_pad[k + 2]
-        w_k = w_pad[k]
-        (B1_prev, B2_prev, mb1) = carry[0]
-        new_bcarry, B_k, mb_k, B_kp1 = _backward_value_step(
-            params, sx, sy, lx, ly, L, end_vec,
-            (B1_prev, B2_prev, mb1), (k, o_k, o_k1, o_k2, w_k))
+    # bridge_k: paths crossing k via one match from k-1 to k+1, evaluated
+    # on the (k+1) cells: middle neighbor of (k+1, j') is slot
+    # j' + d_{k+1} + d_k - 1 of F_{k-1}; emission is the (k+1) cell's own
+    # match emission e_m[k+1]. Vectorized per row r = k+1: F_{r-2} shifted
+    # by d_r + d_{r-1} - 1, paired with B_all[r].
+    zero_row = jnp.zeros((1, S, W), F_all.dtype)
+    F_rm2 = jnp.concatenate([zero_row, zero_row, F_all[:-2]])
+    d_sum = delta + jnp.concatenate([delta[:1], delta[:-1]])  # d_r + d_{r-1}
+    mid = _select_shift(F_rm2, d_sum - 1)
+    t_m = prob["t"][1]
+    Mext = jnp.einsum("kfj,ft->ktj", mid, t_m) * e_m[:, None, :]
+    bridge_at = jnp.einsum("ktj,ktj->k", Mext, B_all)  # value at row r
+    # bridge_at[k+1] pairs F_{k-1}(+cf_{k-1}) with B_{k+1}(+cb_{k+1});
+    # express in the (cf_k + cb_k) frame of diagonal k:
+    bridge = jnp.concatenate([bridge_at[1:], jnp.zeros((1,), bridge_at.dtype)])
+    scale_adj = jnp.exp(-mf - mb)
+    ks_f = ks
+    bridge = jnp.where((ks_f >= 1) & (ks_f < L), bridge * scale_adj, 0.0)
+    total = dot + bridge
+    out["total_raw"] = jnp.log(total)
 
-        F_k = jax.lax.dynamic_slice(F_all, (k, 0, 0), (1, S, W))[0]
-        km1 = jnp.maximum(k - 1, 0)
-        F_km1 = jax.lax.dynamic_slice(F_all, (km1, 0, 0), (1, S, W))[0]
-        F_km1 = jnp.where(k >= 1, F_km1, NEG_INF)
-        mf_k = mf[jnp.clip(k, 0, P)]
+    valid_k = (ks_f >= 1) & (ks_f <= L)
+    js = jnp.arange(W, dtype=jnp.int32)
+    xs = xoff[:, None] + js[None, :]
+    ys = ks_f[:, None] - xs
+    slot_ok = (js[None, :] >= jlo[:, None]) & (js[None, :] <= jhi[:, None])
 
-        dot_raw = _lse(F_k + B_k, axis=(0, 1))
-        bridge_raw = _bridge(params, sx, sy, lx, ly, F_km1, B_kp1,
-                             k, off_pad[km1], o_k1, w_pad[k + 1])
-        bridge_raw = jnp.where((k >= 1) & (k < L), bridge_raw, NEG_INF)
-        total_raw = jnp.logaddexp(dot_raw, bridge_raw - mf_k - mb_k)
+    if mode in ("posterior_match", "posterior_all"):
+        inv_total = jnp.where(total > 0, 1.0 / total, 0.0)
 
-        valid_k = (k >= 1) & (k <= L)
-        xs, ys = _diag_coords(k, o_k, W)
-        slot_ok = jnp.arange(W, dtype=jnp.int32) < w_k
+        def posterior(state, coord_ok):
+            p = F_all[:, state, :] * B_all[:, state, :] * inv_total[:, None]
+            return jnp.where(valid_k[:, None] & slot_ok & coord_ok, p, 0.0)
 
-        emit = {"total_raw": total_raw, "mb": mb_k}
-        if mode in ("posterior_match", "posterior_all"):
-            def posterior(state, coord_ok):
-                p = jnp.exp(F_k[state] + B_k[state] - total_raw)
-                return jnp.where(valid_k & slot_ok & coord_ok, p, 0.0)
+        out["post_match"] = posterior(0, (xs > 0) & (ys > 0))
+        if mode == "posterior_all":
+            out["post_gap_x"] = posterior(1, xs > 0)
+            out["post_gap_y"] = posterior(2, ys > 0)
 
-            emit["post_match"] = posterior(0, (xs > 0) & (ys > 0))
-            if mode == "posterior_all":
-                emit["post_gap_x"] = posterior(1, xs > 0)
-                emit["post_gap_y"] = posterior(2, ys > 0)
-
-        acc = carry[1]
-        if mode == "expectation":
-            km2 = jnp.maximum(k - 2, 0)
-            F_km2 = jax.lax.dynamic_slice(F_all, (km2, 0, 0), (1, S, W))[0]
-            F_km2 = jnp.where(k >= 2, F_km2, NEG_INF)
-            mf_km1 = mf_pad[jnp.clip(k, 0, P)]  # mf[k-1]
-            acc = _accumulate_expectations(
-                params, sx, sy, lx, ly, acc,
-                F_km1, F_km2, B_k, total_raw, mf_k, mf_km1,
-                k, o_k, off_pad[km1], off_pad[km2], slot_ok, valid_k, xs, ys)
-
-        return (new_bcarry, acc), emit
-
-    B_init = (jnp.full((S, W), NEG_INF, jnp.float32),
-              jnp.full((S, W), NEG_INF, jnp.float32), jnp.float32(0.0))
     if mode == "expectation":
-        acc0 = (jnp.zeros((S, S), jnp.float32), jnp.zeros((S, 4, 4), jnp.float32))
-    else:
-        acc0 = ()
-    (_, acc), emits = jax.lax.scan(bwd_step, (B_init, acc0), ks)
-
-    # Emitted in k = P..0 order; flip to 0..P.
-    for key, val in emits.items():
-        out[key] = jnp.flip(val, axis=0)
-    if mode == "expectation":
-        out["trans"], out["emis"] = acc
+        out["trans"], out["emis"] = _expectations(
+            prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
+            wsymx, wsymy, slot_ok, valid_k)
     return out
 
 
-def _accumulate_expectations(params, sx, sy, lx, ly, acc,
-                             F_km1, F_km2, B_k, total_raw, mf_k, mf_km1,
-                             k, o_k, o_km1, o_km2, slot_ok, valid_k, xs, ys):
-    """Accumulate posterior transition/emission expected counts for diagonal
-    k (semantics of diagonalCalculationExpectations / updateExpectations,
-    reference impl/pairwiseAligner.c:735-746, :418-438):
-      p = exp(F_prev[from] + B_k[to] + e + t - total); trans[from,to] += p;
-      emis[to, symx, symy] += p when neither symbol is N.
+def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
+                  wsymx, wsymy, slot_ok, valid_k):
+    """Vectorized posterior transition/emission expected counts over all
+    diagonals (semantics of diagonalCalculationExpectations /
+    updateExpectations, reference impl/pairwiseAligner.c:735-746, :418-438):
+      p = F_prev[from] * T_c * e_c * B_k[to] / total_k;
+      trans[from,to] += p; emis[to,symx,symy] += p (N symbols excluded).
+
+    Scaled space: relative to diagonal k's frame, F_{k-1} carries an extra
+    exp(-mf_k) and F_{k-2} an extra exp(-mf_k - mf_{k-1}).
     """
-    trans_acc, emis_acc = acc
-    S, W = B_k.shape
-    t_x, t_m, t_y = params["t"][0], params["t"][1], params["t"][2]
+    S = F_all.shape[1]
+    W = F_all.shape[2]
+    t_x, t_m, t_y = prob["t"][0], prob["t"][1], prob["t"][2]
 
-    d1 = (o_k - 1 - o_km1) // 2
-    d2 = (o_k - o_km2) // 2
-    lower = _shift_slots(F_km1, d1) - mf_k
-    upper = _shift_slots(F_km1, d1 + 1) - mf_k
-    middle = _shift_slots(F_km2, d2) - mf_k - mf_km1
+    zero = jnp.zeros((1, S, W), F_all.dtype)
+    F_km1 = jnp.concatenate([zero, F_all[:-1]])
+    F_km2 = jnp.concatenate([zero, zero, F_all[:-2]])
+    mf_km1 = jnp.concatenate([jnp.zeros((1,), mf.dtype), mf[:-1]])
+    d_km1 = jnp.concatenate([delta[:1], delta[:-1]])
 
-    symx, symy = _cell_symbols(sx, sy, xs, ys, lx, ly)
-    e_x = params["em_gap_x"][symx]
-    e_y = params["em_gap_y"][symy]
-    e_m = params["em_match"][symx, symy]
+    adj1 = jnp.exp(-mf)
+    adj2 = jnp.exp(-mf - mf_km1)
+    lower = _select_shift(F_km1, delta - 1) * adj1[:, None, None]
+    upper = _select_shift(F_km1, delta) * adj1[:, None, None]
+    middle = _select_shift(F_km2, delta + d_km1 - 1) * adj2[:, None, None]
 
-    def class_post(neighbor, t_c, e_c):
-        # (from, to, j) posterior probability tensor
-        logp = (neighbor[:, None, :] + t_c[:, :, None]
-                + B_k[None, :, :] + e_c[None, None, :] - total_raw)
-        return jnp.exp(logp)
+    inv_total = jnp.where(valid_k & (total > 0), 1.0 / total, 0.0)
+    mask = slot_ok.astype(jnp.float32) * inv_total[:, None]  # (P+1, W)
 
-    p = (class_post(lower, t_x, e_x) + class_post(middle, t_m, e_m)
-         + class_post(upper, t_y, e_y))
-    p = jnp.where(valid_k & slot_ok[None, None, :], p, 0.0)
+    def class_counts(neighbor, t_c, e_c):
+        rhs = B_all * (e_c * mask)[:, None, :]  # (P+1, S, W)
+        m = jnp.einsum("kfj,ktj->ft", neighbor, rhs)
+        q = jnp.einsum("kfj,ft->ktj", neighbor, t_c) * rhs
+        return t_c * m, q
 
-    trans_acc = trans_acc + jnp.sum(p, axis=2)
+    px, qx = class_counts(lower, t_x, e_x)
+    pm, qm = class_counts(middle, t_m, e_m)
+    py, qy = class_counts(upper, t_y, e_y)
+    trans = px + pm + py
 
-    q = jnp.sum(p, axis=0)  # (to, j): total posterior flow into `to`
-    oh_x = (symx[:, None] == jnp.arange(4)[None, :]).astype(jnp.float32)
-    oh_y = (symy[:, None] == jnp.arange(4)[None, :]).astype(jnp.float32)
-    emis_acc = emis_acc + jnp.einsum("tj,ja,jb->tab", q, oh_x, oh_y)
-    return trans_acc, emis_acc
+    q = qx + qm + qy  # (P+1, to, j) posterior flow into `to` at each cell
+    ar = jnp.arange(4, dtype=wsymx.dtype)
+    ohx = (wsymx[..., None] == ar).astype(jnp.float32)  # N/sentinel -> zero
+    ohy = (wsymy[..., None] == ar).astype(jnp.float32)
+    emis = jnp.einsum("ktj,kja,kjb->tab", q, ohx, ohy)
+    return trans, emis

@@ -32,17 +32,26 @@ def concat_pairs(lists) -> np.ndarray:
     return np.concatenate(lists)
 
 
+def frame_offsets(offsets: np.ndarray) -> np.ndarray:
+    """x-frame window starts from band xmy offsets (matches the engine's
+    _frame_from_band): xoff[k] = cummax over k of the left x edge."""
+    ks = np.arange(len(offsets), dtype=np.int64)
+    return np.maximum.accumulate((ks + offsets) // 2)
+
+
 def extract_pairs_from_posteriors(post, offsets, L, threshold,
                                   offset_x=0, offset_y=0) -> np.ndarray:
-    """Threshold a dense (P+1, W) diagonal-slot posterior array into a pair
+    """Threshold a dense (P+1, W) x-frame-slot posterior array into a pair
     list (addPosteriorProb semantics: clamp to 1, floor(p*1e7), store x-1,y-1;
-    reference impl/pairwiseAligner.c:655-664)."""
+    reference impl/pairwiseAligner.c:655-664). Slot j of diagonal k holds
+    the cell with x = xoff[k] + j."""
     post = np.asarray(post)
+    xoff = frame_offsets(offsets)
     ks, js = np.nonzero(post >= threshold)
     keep = ks <= L
     ks, js = ks[keep], js[keep]
     p = np.minimum(post[ks, js], 1.0)
-    xs = (ks + offsets[ks] + 2 * js) // 2
+    xs = xoff[ks] + js
     ys = ks - xs
     return make_pairs(
         np.floor(p * PAIR_ALIGNMENT_PROB_1).astype(np.int64),

@@ -19,7 +19,7 @@ def run_fb(sm, x, y, band=None, mode="posterior_match",
            ragged_left=False, ragged_right=False, W=None, P=None):
     lx, ly = len(x), len(y)
     band = band or full_band(lx, ly)
-    W = W or int(band.max_width)
+    W = W or band.frame_width()
     P = P or band.diagonal_number
     offsets, widths, L = pad_band(band, P)
     out = fb.fb_pass(
@@ -32,15 +32,19 @@ def run_fb(sm, x, y, band=None, mode="posterior_match",
 
 
 def dense_posteriors(out, band, lx, ly, key="post_match"):
-    """Scatter engine (diagonal, slot) posteriors into an (lx+1, ly+1) grid."""
+    """Scatter engine (diagonal, x-frame slot) posteriors into an
+    (lx+1, ly+1) grid."""
+    from cpecan_tpu.ops.pairs import frame_offsets
+
     post = np.zeros((lx + 1, ly + 1))
     pm = out[key]
+    xoff = frame_offsets(band.offsets.astype(np.int64))
     for k in range(band.diagonal_number + 1):
         o, w = int(band.offsets[k]), int(band.widths[k])
         for j in range(w):
             x = (k + o + 2 * j) // 2
             y = k - x
-            post[x, y] = pm[k, j]
+            post[x, y] = pm[k, x - xoff[k]]
     return post
 
 
