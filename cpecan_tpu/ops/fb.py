@@ -76,14 +76,48 @@ def _select_shift(arr, amount):
         jnp.where(amount == 1, _shift_left(arr), _shift_right(arr)))
 
 
-def _symbol_windows(seq_padded, starts, W):
-    """Windows seq_padded[starts[k] + j] for j in [0, W): one slice-gather.
-    seq_padded must carry sentinel padding so out-of-range indices are
-    in-bounds. Returns (P+1, W) int8."""
-    def slice_one(s):
-        return jax.lax.dynamic_slice(seq_padded, (s,), (W,))
+def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W):
+    """Per-diagonal symbol windows via a feather-weight int8 scan.
 
-    return jax.vmap(slice_one)(starts)
+    Exploits the monotone x-frame: the x-window start advances by
+    delta in {0,1} per diagonal and the (reversed) y-window start
+    retreats by delta-1 — so each row is the previous row shifted by a
+    constant with one new element appended/prepended. The only gathers
+    are the per-diagonal single elements (P+1 each), everything else is
+    selects — profiling showed bulk window gathers dominated the whole
+    engine (vmapped slice-gather lowers terribly on TPU).
+
+    Returns (wx, wy), each (P+1, W+1) int8:
+      wx[k, j]   = sx_pad[xoff[k] - 1 + j + pad]   (x-1 at j, x at j+1)
+      wy[k, j]   = sy_pad[LY - k + xoff[k] - 1 + j + pad]  (y at j, y-1 at j+1)
+    """
+    P = xoff.shape[0] - 1
+    pad_off = W + 1
+    row_x0 = jax.lax.dynamic_slice(sx_pad, (xoff[0] - 1 + pad_off,), (W + 1,))
+    row_y0 = jax.lax.dynamic_slice(
+        sy_pad, (LY - 0 + xoff[0] - 1 + pad_off,), (W + 1,))
+
+    # per-diagonal single-element gathers (tiny); the row's last element
+    # sits at sequence index xoff[k] + W - 1
+    next_x = sx_pad[jnp.clip(xoff + W - 1 + pad_off, 0, sx_pad.shape[0] - 1)]
+    ks = jnp.arange(P + 1, dtype=jnp.int32)
+    first_y = sy_pad[jnp.clip(LY - ks + xoff - 1 + pad_off, 0, sy_pad.shape[0] - 1)]
+
+    def step(carry, inputs):
+        rx, ry = carry
+        d_k, nx_k, fy_k = inputs
+        rx_new = jnp.where(d_k == 1,
+                           jnp.concatenate([rx[1:], nx_k[None]]), rx)
+        ry_new = jnp.where(d_k == 1, ry,
+                           jnp.concatenate([fy_k[None], ry[:-1]]))
+        return (rx_new, ry_new), (rx_new, ry_new)
+
+    inputs = (delta[1:], next_x[1:], first_y[1:])
+    _, (wx_rest, wy_rest) = jax.lax.scan(step, (row_x0, row_y0), inputs,
+                                         unroll=_UNROLL)
+    wx = jnp.concatenate([row_x0[None], wx_rest], axis=0)
+    wy = jnp.concatenate([row_y0[None], wy_rest], axis=0)
+    return wx, wy
 
 
 def _prob_params(params):
@@ -280,13 +314,13 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     pad = jnp.full((W + 1,), _SENTINEL, jnp.int8)
     sx_pad = jnp.concatenate([pad, sx_s, pad])
     sy_pad = jnp.concatenate([pad, sy_rev, pad])
-    ks = jnp.arange(P + 1, dtype=jnp.int32)
-    # own-cell symbols (x-1 / y-1): sy index y-1 -> sy_rev index LY-y
-    wsymx = _symbol_windows(sx_pad, xoff - 1 + (W + 1), W)
-    wsymy = _symbol_windows(sy_pad, LY - ks + xoff + (W + 1), W)
-    # future-cell symbols (x / y)
-    wsymx_f = _symbol_windows(sx_pad, xoff + (W + 1), W)
-    wsymy_f = _symbol_windows(sy_pad, LY - ks + xoff - 1 + (W + 1), W)
+    # (P+1, W+1) sliding windows; own-cell symbols (x-1 / y-1) and
+    # future-cell symbols (x / y) are static column views of the same rows
+    wx, wy = _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W)
+    wsymx = wx[:, :W]
+    wsymx_f = wx[:, 1:]
+    wsymy_f = wy[:, :W]
+    wsymy = wy[:, 1:]
 
     e_x, e_y, e_m = _emissions(prob, wsymx, wsymy)
     F_all, mf = forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi,
@@ -325,7 +359,7 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     # express in the (cf_k + cb_k) frame of diagonal k:
     bridge = jnp.concatenate([bridge_at[1:], jnp.zeros((1,), bridge_at.dtype)])
     scale_adj = jnp.exp(-mf - mb)
-    ks_f = ks
+    ks_f = jnp.arange(P + 1, dtype=jnp.int32)
     bridge = jnp.where((ks_f >= 1) & (ks_f < L), bridge * scale_adj, 0.0)
     total = dot + bridge
     out["total_raw"] = jnp.log(total)
