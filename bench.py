@@ -36,7 +36,7 @@ from cpecan_tpu.ops.band import construct_band, pad_band
 from cpecan_tpu.utils.symbols import encode
 
 SEQ_LEN = 1000
-BATCH = 64
+BATCH = 256
 EXPANSION = 20  # default diagonalExpansion
 
 
@@ -93,15 +93,16 @@ def main():
     def run():
         out = fb_batch.fb_pass_batch(params, *args, mode="posterior_match",
                                      width=W)
-        # force execution + host transfer (block_until_ready alone can be
-        # lazy on experimental remote backends)
-        return float(jnp.sum(out["post_match"]))
+        return jnp.sum(out["post_match"])
 
-    run()  # compile + warm
-    reps = 3
+    # force execution + host transfer (block_until_ready alone can be lazy
+    # on experimental remote backends); amortize the host round-trip by
+    # forcing only the last of a pipelined run of reps
+    float(run())  # compile + warm + sync
+    reps = 10
     t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
+    outs = [run() for _ in range(reps)]
+    float(outs[-1])
     dt = (time.perf_counter() - t0) / reps
 
     cells_per_sec = cells / dt

@@ -154,14 +154,34 @@ def _one_hot(sym, n=5):
     return (sym[..., None] == jnp.arange(n, dtype=sym.dtype)).astype(jnp.float32)
 
 
+def _lookup1(sym, table5):
+    """Elementwise 5-entry table lookup via a fused select chain (exact
+    f32; the one-hot matmul formulation pads the K=5 contraction onto the
+    MXU and is ~100x more expensive). Sentinel symbols map to 0."""
+    out = jnp.zeros(sym.shape, jnp.float32)
+    for i in range(5):
+        out = jnp.where(sym == i, table5[i], out)
+    return out
+
+
+def _lookup2(symx, symy, table55):
+    """Elementwise 5x5 table lookup via nested select chains. Any sentinel
+    symbol maps to 0."""
+    out = jnp.zeros(symx.shape, jnp.float32)
+    for a in range(5):
+        row = jnp.zeros(symy.shape, jnp.float32)
+        for b in range(5):
+            row = jnp.where(symy == b, table55[a, b], row)
+        out = jnp.where(symx == a, row, out)
+    return out
+
+
 def _emissions(prob, wsymx, wsymy):
     """Per-slot emission probabilities for symbol windows: returns
     (e_x, e_y, e_m) each with the windows' shape."""
-    ohx = _one_hot(wsymx)
-    ohy = _one_hot(wsymy)
-    e_x = ohx @ prob["em_gap_x"]
-    e_y = ohy @ prob["em_gap_y"]
-    e_m = jnp.sum((ohx @ prob["em_match"]) * ohy, axis=-1)
+    e_x = _lookup1(wsymx, prob["em_gap_x"])
+    e_y = _lookup1(wsymy, prob["em_gap_y"])
+    e_m = _lookup2(wsymx, wsymy, prob["em_match"])
     return e_x, e_y, e_m
 
 
@@ -198,7 +218,7 @@ def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
         middle = _select_shift(F2, d_k + d_km1 - 1) * (inv_m1 * em_k)[None, :]
 
         stacked = jnp.concatenate([lower, middle, upper], axis=0)  # (3S, W)
-        cur = jnp.einsum("Fj,Ft->tj", stacked, t_cat)
+        cur = jnp.einsum("Fj,Ft->tj", stacked, t_cat, precision=jax.lax.Precision.HIGHEST)
         cur = cur * ((js >= jlo_k) & (js <= jhi_k))[None, :]
 
         m = jnp.max(cur)
@@ -246,7 +266,7 @@ def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
         bm = _select_shift(B2, 1 - d_k1 - d_k2) * (inv_mb1 * efm_k)[None, :]
 
         stacked = jnp.concatenate([bx, bm, by], axis=0)  # (3S, W)
-        raw = jnp.einsum("tj,ft->fj", stacked, t_cat_b)
+        raw = jnp.einsum("tj,ft->fj", stacked, t_cat_b, precision=jax.lax.Precision.HIGHEST)
         raw = raw * slot_ok[None, :]
 
         at_end = k == L
@@ -327,7 +347,7 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
                               ragged_left, W)
 
     end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
-    fe = jnp.log(jnp.einsum("ksj,s->k", F_all, end_vec))
+    fe = jnp.log(jnp.einsum("ksj,s->k", F_all, end_vec, precision=jax.lax.Precision.HIGHEST))
     log_fwd = fe[jnp.clip(L, 0, P)]
 
     out = {"mf": mf, "log_fwd": log_fwd}
@@ -341,7 +361,7 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     out["mb"] = mb
 
     # ---- vectorized per-diagonal totals: dot + match bridge ----
-    dot = jnp.einsum("ksj,ksj->k", F_all, B_all)
+    dot = jnp.einsum("ksj,ksj->k", F_all, B_all, precision=jax.lax.Precision.HIGHEST)
 
     # bridge_k: paths crossing k via one match from k-1 to k+1, evaluated
     # on the (k+1) cells: middle neighbor of (k+1, j') is slot
@@ -353,8 +373,8 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     d_sum = delta + jnp.concatenate([delta[:1], delta[:-1]])  # d_r + d_{r-1}
     mid = _select_shift(F_rm2, d_sum - 1)
     t_m = prob["t"][1]
-    Mext = jnp.einsum("kfj,ft->ktj", mid, t_m) * e_m[:, None, :]
-    bridge_at = jnp.einsum("ktj,ktj->k", Mext, B_all)  # value at row r
+    Mext = jnp.einsum("kfj,ft->ktj", mid, t_m, precision=jax.lax.Precision.HIGHEST) * e_m[:, None, :]
+    bridge_at = jnp.einsum("ktj,ktj->k", Mext, B_all, precision=jax.lax.Precision.HIGHEST)  # value at row r
     # bridge_at[k+1] pairs F_{k-1}(+cf_{k-1}) with B_{k+1}(+cb_{k+1});
     # express in the (cf_k + cb_k) frame of diagonal k:
     bridge = jnp.concatenate([bridge_at[1:], jnp.zeros((1,), bridge_at.dtype)])
@@ -421,8 +441,8 @@ def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
 
     def class_counts(neighbor, t_c, e_c):
         rhs = B_all * (e_c * mask)[:, None, :]  # (P+1, S, W)
-        m = jnp.einsum("kfj,ktj->ft", neighbor, rhs)
-        q = jnp.einsum("kfj,ft->ktj", neighbor, t_c) * rhs
+        m = jnp.einsum("kfj,ktj->ft", neighbor, rhs, precision=jax.lax.Precision.HIGHEST)
+        q = jnp.einsum("kfj,ft->ktj", neighbor, t_c, precision=jax.lax.Precision.HIGHEST) * rhs
         return t_c * m, q
 
     px, qx = class_counts(lower, t_x, e_x)
@@ -434,5 +454,5 @@ def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
     ar = jnp.arange(4, dtype=wsymx.dtype)
     ohx = (wsymx[..., None] == ar).astype(jnp.float32)  # N/sentinel -> zero
     ohy = (wsymy[..., None] == ar).astype(jnp.float32)
-    emis = jnp.einsum("ktj,kja,kjb->tab", q, ohx, ohy)
+    emis = jnp.einsum("ktj,kja,kjb->tab", q, ohx, ohy, precision=jax.lax.Precision.HIGHEST)
     return trans, emis

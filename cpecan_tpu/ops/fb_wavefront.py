@@ -1,0 +1,575 @@
+"""Fused Pallas banded-wavefront forward-backward kernels.
+
+This is the speed-of-light engine for the banded pair-HMM FB pass
+(reference hot loop: impl/pairwiseAligner.c:756-877, cell update
+impl/stateMachine.c:450-480). The lax.scan engine in ops/fb.py executes
+one tiny (S, W) update per sequential XLA loop step and materializes
+whole (B, P, S, W) forward/backward tensors for the vectorized
+reductions — dispatch-bound on the scan and HBM-bound on the
+reductions. Here the whole wavefront runs inside two Pallas kernels:
+
+ * **Forward kernel**: grid (pair-groups, diagonal-chunks); each program
+   advances G pairs x CH diagonals with the scaled-probability carries
+   (F_{k-1}, the pre-shifted U_{k-1}, 1/m_{k-1}) living in VMEM scratch
+   that persists across the sequential grid steps. Emits the
+   per-diagonal normalized forward probs F, log scales mf, and a
+   pre-contracted "bridge vector" (see below).
+
+ * **Backward+posterior kernel**: iterates the grid in reverse, carries
+   (B_{k+1}, B_{k+2}, 1/mb_{k+1}), recomputes the per-diagonal total
+   (forward.backward dot plus the one-step match-bridge correction of
+   diagonalCalculationTotalProbability, reference :636-653) on the fly
+   and writes only the posterior rows — no B tensor ever exists in HBM.
+
+Design notes (why it looks like this):
+ - G pairs ride the sublane dimension and the W band slots the lane
+   dimension, so every vector op is a full (8, 128) native tile.
+ - All data-dependent neighbor shifts (amounts in {-1,0,1} from the
+   band x-frame) are precomputed as int8 mask streams; in-kernel they
+   become two-way lane-shift selects. Slot validity masks are folded
+   into the emission streams (every contribution into a cell carries
+   that cell's own emission factor, so masking emissions == masking the
+   cell update).
+ - The transition contraction is unrolled over the *statically nonzero*
+   transitions of the state machine (13 for the 5-state, 9 for the
+   3-state — the reference's 13-transition callback loop), read as
+   scalars from SMEM.
+ - The bridge correction needs F_{k-1} against B_{k+1}. The forward
+   kernel emits bridgevec[k] = (sum_f F_{k-1}[f] * t_m[f, match]) / m_k,
+   which the backward kernel shifts, dots with B_{k+1}[match] * em[k+1],
+   and rescales by its own 1/mb_k — eliminating any backward-time access
+   to mf or to non-current F rows.
+
+Numerics are identical to ops/fb.py (same scaled-prob recurrence, same
+per-diagonal max normalization), so the scan engine doubles as the
+test oracle for this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpecan_tpu.ops import fb as _fb
+
+# Default tile sizes: G pairs on sublanes, CH diagonals per grid step.
+GROUP = 8
+CHUNK = 64
+
+# pm bitfield (int8 per (row, slot))
+_PM_MATCH = 1  # posterior-match valid: 1<=k<=L & slot & x>0 & y>0
+_PM_GAPX = 2
+_PM_GAPY = 4
+_PM_ATEND = 8  # k == L (broadcast over slots)
+_PM_BRIDGE = 16  # 1 <= k < L (broadcast over slots)
+
+
+def _shift_l(x):
+    """out[..., j] = x[..., j+1], zero fill."""
+    return jnp.concatenate([x[..., 1:], jnp.zeros_like(x[..., :1])], axis=-1)
+
+
+def _shift_r(x):
+    """out[..., j] = x[..., j-1], zero fill."""
+    return jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+
+
+def nonzero_transitions(t_log: np.ndarray):
+    """Static (class, from, to) triples of active transitions from the
+    numpy/host copy of the (3, S, S) log transition tensor."""
+    t = np.asarray(t_log)
+    triples = []
+    for c in range(3):
+        for f in range(t.shape[1]):
+            for to in range(t.shape[2]):
+                if np.isfinite(t[c, f, to]):
+                    triples.append((c, f, to))
+    return tuple(triples)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
+                f0_ref, fout_ref, bv_ref, mf_ref,
+                f1_s, f2_s, invm_s, *, S, nz, chunk):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        f1_s[...] = f0_ref[0]
+        f2_s[...] = jnp.zeros_like(f2_s)
+        invm_s[...] = jnp.ones_like(invm_s)
+        fout_ref[0, 0] = f0_ref[0]
+        bv_ref[0, 0] = jnp.zeros_like(bv_ref[0, 0])
+        mf_ref[0, 0] = jnp.zeros_like(mf_ref[0, 0])
+
+    xs_rows = sorted({f for cl, f, t in nz if cl == 0})
+    ys_rows = sorted({f for cl, f, t in nz if cl == 2})
+    mid_rows = sorted({f for cl, f, t in nz if cl == 1})
+    match_tm = [(f, t) for cl, f, t in nz if cl == 1 and t == 0]
+
+    def body(i, _):
+        ex = ex_ref[0, i]
+        ey = ey_ref[0, i]
+        em = em_ref[0, i]
+        a = a_ref[0, i] != 0
+        b1 = b1_ref[0, i] != 0
+        b0 = b0_ref[0, i] != 0
+
+        F1 = [f1_s[f] for f in range(S)]
+        F2 = [f2_s[f] for f in range(S)]
+        invm = invm_s[...]
+
+        # lower neighbor (consumes X): shift d-1 in {-1,0}
+        lx = {f: jnp.where(a, F1[f], _shift_r(F1[f])) * ex for f in xs_rows}
+        # upper neighbor (consumes Y): shift d in {0,1}
+        ly = {f: jnp.where(a, _shift_l(F1[f]), F1[f]) * ey for f in ys_rows}
+        # middle neighbor (consumes XY): F_{k-2} shifted by the 3-way
+        # dmid = d_k + d_{k-1} - 1 in {-1,0,1}. A single shift — composing
+        # two opposite shifts would zero an edge slot that can be in-band.
+        emi = em * invm
+        lm = {f: jnp.where(b1, _shift_l(F2[f]),
+                           jnp.where(b0, F2[f], _shift_r(F2[f]))) * emi
+              for f in mid_rows}
+
+        cur = [None] * S
+        for cl, f, t in nz:
+            term = (lx[f] if cl == 0 else lm[f] if cl == 1 else ly[f])
+            term = term * t_ref[cl * S + f, t]
+            cur[t] = term if cur[t] is None else cur[t] + term
+        zero = jnp.zeros_like(ex)
+        cur = [zero if c_ is None else c_ for c_ in cur]
+
+        m = jnp.max(cur[0], axis=-1, keepdims=True)
+        for t in range(1, S):
+            m = jnp.maximum(m, jnp.max(cur[t], axis=-1, keepdims=True))
+        m = jnp.where(m > 0, m, 1.0)
+        r = 1.0 / m
+
+        # bridgevec[r] = (sum_f F_{r-2}[f] * t_m[f, match]) / m_{r-1}: the
+        # backward kernel dots this (shifted by dmid[r]) with
+        # e_m[r] * B_r[match] and its own 1/mb to reproduce
+        # bridge_at[k+1] * exp(-mf_k - mb_k) at k = r - 1.
+        bv = zero
+        for f, t in match_tm:
+            bv = bv + F2[f] * t_ref[S + f, t]
+        bv_ref[0, i] = bv * invm
+
+        for t in range(S):
+            f_new = cur[t] * r
+            fout_ref[0, i, t] = f_new
+            f2_s[t] = F1[t]
+            f1_s[t] = f_new
+        mf_ref[0, i] = jnp.log(m)
+        invm_s[...] = jnp.broadcast_to(r, invm.shape)
+        return 0
+
+    # row 0 of chunk 0 is the precomputed F0 (written above); every other
+    # chunk starts its recursion at local row 0
+    @pl.when(c > 0)
+    def _():
+        body(0, 0)
+
+    jax.lax.fori_loop(1, chunk, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Backward + posterior kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
+                abw_ref, c1_ref, c0_ref, bm1_ref, bm0_ref, pm_ref, end_ref,
+                post_m_ref, post_x_ref, post_y_ref,
+                b1_s, b2_s, invb_s, emn_s, bvn_s,
+                *, S, nz, chunk, mode):
+    cr = pl.program_id(1)
+
+    @pl.when(cr == 0)
+    def _():
+        b1_s[...] = jnp.zeros_like(b1_s)
+        b2_s[...] = jnp.zeros_like(b2_s)
+        invb_s[...] = jnp.ones_like(invb_s)
+        emn_s[...] = jnp.zeros_like(emn_s)
+        bvn_s[...] = jnp.zeros_like(bvn_s)
+
+    x_targets = sorted({t for cl, f, t in nz if cl == 0})
+    y_targets = sorted({t for cl, f, t in nz if cl == 2})
+    m_targets = sorted({t for cl, f, t in nz if cl == 1})
+
+    def body(i, _):
+        ii = chunk - 1 - i
+        efx = efx_ref[0, ii]
+        efy = efy_ref[0, ii]
+        efm = efm_ref[0, ii]
+        em_own = em_ref[0, ii]
+        abw = abw_ref[0, ii] != 0
+        c1 = c1_ref[0, ii] != 0
+        c0 = c0_ref[0, ii] != 0
+        bm1 = bm1_ref[0, ii] != 0
+        bm0 = bm0_ref[0, ii] != 0
+        pm = pm_ref[0, ii]
+
+        B1 = [b1_s[t] for t in range(S)]
+        B2 = [b2_s[t] for t in range(S)]
+        invb = invb_s[...]
+        em_next = emn_s[...]
+        bvn = bvn_s[...]
+
+        # receive from k+1: x-class at shift 1-d1 in {0,1}; y at -d1 in
+        # {-1,0}; from k+2: m-class at shift 1-dsum2 in {-1,0,1}
+        bxe = {t: jnp.where(abw, B1[t], _shift_l(B1[t])) * efx
+               for t in x_targets}
+        bye = {t: jnp.where(abw, _shift_r(B1[t]), B1[t]) * efy
+               for t in y_targets}
+        efmi = efm * invb
+        bme = {t: jnp.where(c1, _shift_r(B2[t]),
+                            jnp.where(c0, B2[t], _shift_l(B2[t]))) * efmi
+               for t in m_targets}
+
+        raw = [None] * S
+        for cl, f, t in nz:
+            term = (bxe[t] if cl == 0 else bme[t] if cl == 1 else bye[t])
+            term = term * t_ref[cl * S + f, t]
+            raw[f] = term if raw[f] is None else raw[f] + term
+        zero = jnp.zeros_like(efx)
+        raw = [zero if r_ is None else r_ for r_ in raw]
+
+        at_end = (pm & _PM_ATEND) != 0  # (G, W), row-constant
+        ae_f = at_end.astype(jnp.float32)
+        ae_col = ae_f[:, :1]  # (G, 1) float mask (Mosaic-friendly)
+        for f in range(S):
+            raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
+
+        m = jnp.max(raw[0], axis=-1, keepdims=True)
+        for f in range(1, S):
+            m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+        # m := m where (m > 0 and not at_end) else 1, as float arithmetic
+        good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
+        m = m * good + (1.0 - good)
+        r = 1.0 / m
+        B_new = [raw[f] * r for f in range(S)]
+
+        # per-diagonal total: dot + bridge (reference :636-653)
+        F_row = [f_ref[0, ii, s] for s in range(S)]
+        dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
+        for s in range(1, S):
+            dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1, keepdims=True)
+        br_sh = jnp.where(bm1, _shift_l(bvn), jnp.where(bm0, bvn, _shift_r(bvn)))
+        bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
+        bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
+        total = dot + bridge * r * bvalid
+        tot_ok = (total > 0).astype(jnp.float32)
+        invt = tot_ok / (total + (1.0 - tot_ok))
+
+        post_m_ref[0, ii] = jnp.where(
+            (pm & _PM_MATCH) != 0, F_row[0] * B_new[0] * invt, 0.0)
+        if mode == "posterior_all":
+            post_x_ref[0, ii] = jnp.where(
+                (pm & _PM_GAPX) != 0, F_row[1] * B_new[1] * invt, 0.0)
+            post_y_ref[0, ii] = jnp.where(
+                (pm & _PM_GAPY) != 0, F_row[2] * B_new[2] * invt, 0.0)
+
+        for t in range(S):
+            b2_s[t] = B1[t] * (1.0 - ae_f)
+            b1_s[t] = B_new[t]
+        invb_s[...] = jnp.broadcast_to(r * (1.0 - ae_col) + ae_col, invb.shape)
+        emn_s[...] = em_own
+        bvn_s[...] = bv_ref[0, ii]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host/XLA-side precompute and wrappers
+# ---------------------------------------------------------------------------
+
+
+def _precompute_one(params, sx, sy, offsets, widths, lx, ly,
+                    ragged_left, ragged_right, width, rows):
+    """Per-pair (vmapped) stream preparation: masked emissions, shift-select
+    masks, posterior bitfield, F0 and end rows. All row dims padded to
+    `rows`."""
+    W = width
+    S = params["start"].shape[0]
+    P = offsets.shape[0] - 1
+    prob = _fb._prob_params(params)
+    L = lx + ly
+
+    xoff, delta, jlo, jhi = _fb._frame_from_band(offsets, widths)
+
+    LX = sx.shape[0]
+    LY = sy.shape[0]
+    sx_s = jnp.where(jnp.arange(LX) < lx, sx, _fb._SENTINEL).astype(jnp.int8)
+    sy_s = jnp.where(jnp.arange(LY) < ly, sy, _fb._SENTINEL).astype(jnp.int8)
+    sy_rev = jnp.flip(sy_s)
+    pad = jnp.full((W + 1,), _fb._SENTINEL, jnp.int8)
+    sx_pad = jnp.concatenate([pad, sx_s, pad])
+    sy_pad = jnp.concatenate([pad, sy_rev, pad])
+    wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W)
+
+    e_x, e_y, e_m = _fb._emissions(prob, wx[:, :W], wy[:, 1:])
+    ef_x, ef_y, ef_m = _fb._emissions(prob, wx[:, 1:], wy[:, :W])
+
+    js = jnp.arange(W, dtype=jnp.int32)
+    ks = jnp.arange(P + 1, dtype=jnp.int32)
+    slot_ok = (js[None, :] >= jlo[:, None]) & (js[None, :] <= jhi[:, None])
+    fm = slot_ok.astype(jnp.float32)
+    e_x, e_y, e_m = e_x * fm, e_y * fm, e_m * fm
+    ef_x, ef_y, ef_m = ef_x * fm, ef_y * fm, ef_m * fm
+
+    d_km1 = jnp.concatenate([delta[:1], delta[:-1]])
+    dmid = delta + d_km1 - 1
+    zeros2 = jnp.zeros((2,), delta.dtype)
+    delta_pad = jnp.concatenate([delta, zeros2])
+    d1 = delta_pad[1:P + 2]
+    dsum2 = d1 + delta_pad[2:P + 3]
+    dmid1 = jnp.concatenate([dmid[1:], jnp.zeros((1,), dmid.dtype)])
+
+    # Row-constant shift-select masks, broadcast over the W lanes so the
+    # kernels consume uniform (G, W) int8 tiles.
+    i8 = lambda cond: jnp.broadcast_to(
+        cond[:, None], (P + 1, W)).astype(jnp.int8)
+    a = i8(delta == 1)
+    b1 = i8(dmid == 1)
+    b0 = i8(dmid == 0)
+    abw = i8(d1 == 1)
+    c1 = i8(dsum2 == 2)
+    c0 = i8(dsum2 == 1)
+    bm1 = i8(dmid1 == 1)
+    bm0 = i8(dmid1 == 0)
+
+    xs = xoff[:, None] + js[None, :]
+    ys = ks[:, None] - xs
+    valid_k = ((ks >= 1) & (ks <= L))[:, None]
+    pm = (jnp.where(valid_k & slot_ok & (xs > 0) & (ys > 0), _PM_MATCH, 0)
+          | jnp.where(valid_k & slot_ok & (xs > 0), _PM_GAPX, 0)
+          | jnp.where(valid_k & slot_ok & (ys > 0), _PM_GAPY, 0)
+          | jnp.where((ks == L)[:, None], _PM_ATEND, 0)
+          | jnp.where(((ks >= 1) & (ks < L))[:, None], _PM_BRIDGE, 0))
+    pm = pm.astype(jnp.int8)
+
+    start_vec = jnp.where(ragged_left, prob["ragged_start"], prob["start"])
+    F0 = jnp.zeros((S, W), jnp.float32).at[:, 0].set(start_vec)
+    m0 = jnp.max(F0)
+    m0 = jnp.where(m0 > 0, m0, 1.0)
+    F0 = F0 / m0
+
+    end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
+    slot_ok_L = jax.lax.dynamic_index_in_dim(
+        fm, jnp.clip(L, 0, P), axis=0, keepdims=False)
+    end_row = end_vec[:, None] * slot_ok_L[None, :]
+
+    def padr(arr, fill=0):
+        cfg = [(0, rows - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, cfg, constant_values=fill)
+
+    return {
+        "ex": padr(e_x), "ey": padr(e_y), "em": padr(e_m),
+        "efx": padr(ef_x), "efy": padr(ef_y), "efm": padr(ef_m),
+        "a": padr(a), "b1": padr(b1), "b0": padr(b0),
+        "abw": padr(abw), "c1": padr(c1), "c0": padr(c0),
+        "bm1": padr(bm1), "bm0": padr(bm0), "pm": padr(pm),
+        "F0": F0, "m0log": jnp.log(m0)[None], "end_row": end_row,
+        "xoff": xoff, "jlo": jlo, "jhi": jhi, "L": L,
+    }
+
+
+def _group(arr, NG, G):
+    """(B, rows, ...) -> (NG, rows, G, ...) kernel layout."""
+    s = arr.shape
+    return jnp.transpose(
+        arr.reshape((NG, G) + s[1:]),
+        (0, 2, 1) + tuple(range(3, arr.ndim + 1)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nz", "S", "mode", "width", "rows", "interpret"))
+def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
+                      ragged_left, ragged_right, nz, S, mode, width, rows,
+                      interpret):
+    B = sx.shape[0]
+    W = width
+    G = GROUP
+    if B % G != 0:
+        padn = (-B) % G
+        rep = lambda arr: jnp.concatenate(
+            [arr] + [arr[-1:]] * padn, axis=0)
+        sx, sy = rep(sx), rep(sy)
+        offsets, widths = rep(offsets), rep(widths)
+        lx, ly = rep(lx), rep(ly)
+        ragged_left, ragged_right = rep(ragged_left), rep(ragged_right)
+    NB = sx.shape[0]
+    NG = NB // G
+    NC = rows // CHUNK
+
+    pre = jax.vmap(
+        lambda *args: _precompute_one(params, *args, width=W, rows=rows)
+    )(sx, sy, offsets, widths, lx, ly, ragged_left, ragged_right)
+
+    g_row = lambda k: _group(pre[k], NG, G)  # (NG, rows, G, [W])
+    ex, ey, em = g_row("ex"), g_row("ey"), g_row("em")
+    a, b1, b0 = g_row("a"), g_row("b1"), g_row("b0")
+    F0 = jnp.transpose(pre["F0"].reshape(NG, G, S, W), (0, 2, 1, 3))
+
+    t_prob = jnp.exp(params["t"]).reshape(3 * S, S)
+
+    kp = dict(interpret=interpret)
+    vmem = pltpu.VMEM
+    row_spec = lambda last: pl.BlockSpec(
+        (1, CHUNK, G) + last, lambda g, c: (g, c, 0) + (0,) * len(last),
+        memory_space=vmem)
+
+    fwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NG, NC),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
+            row_spec((W,)), row_spec((W,)), row_spec((W,)),  # ex ey em
+            row_spec((W,)), row_spec((W,)), row_spec((W,)),  # a b1 b0
+            pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+                         memory_space=vmem),  # F0
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CHUNK, S, G, W), lambda g, c: (g, c, 0, 0, 0),
+                         memory_space=vmem),  # F
+            row_spec((W,)),  # bridgevec
+            row_spec((1,)),  # mf
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, G, W), jnp.float32),  # F_{k-1}
+            pltpu.VMEM((S, G, W), jnp.float32),  # U_{k-1}
+            pltpu.VMEM((G, 1), jnp.float32),  # 1/m_{k-1}
+        ],
+    )
+    F_all, bridgevec, mf = pl.pallas_call(
+        functools.partial(_fwd_kernel, S=S, nz=nz, chunk=CHUNK),
+        grid_spec=fwd_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((NG, rows, S, G, W), jnp.float32),
+            jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32),
+            jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
+        ],
+        **kp,
+    )(t_prob, ex, ey, em, a, b1, b0, F0)
+
+    mf_b = jnp.transpose(mf[..., 0], (0, 2, 1)).reshape(NB, rows)
+    mf_b = mf_b.at[:, 0].add(pre["m0log"][:, 0])
+
+    # forward log prob at diagonal L (end-state dot), per pair
+    P = offsets.shape[1] - 1
+    L = pre["L"]
+    end_vec_rows = pre["end_row"]  # (NB, S, W) — end vec already masked
+    F_rows = jnp.transpose(F_all, (0, 3, 1, 2, 4)).reshape(NB, rows, S, W)
+    FL = jax.vmap(lambda f, l: jax.lax.dynamic_index_in_dim(
+        f, jnp.clip(l, 0, P), axis=0, keepdims=False))(F_rows, L)
+    # end_row = end_vec * slot_ok; F is zero off-band so the dot matches
+    # einsum(F[L], end_vec)
+    log_fwd = jnp.log(jnp.einsum("bsw,bsw->b", FL, end_vec_rows,
+                                 precision=jax.lax.Precision.HIGHEST))
+
+    out = {"mf": mf_b[:B, :P + 1], "log_fwd": log_fwd[:B]}
+    if mode == "forward":
+        return out
+
+    efx, efy, efm = g_row("efx"), g_row("efy"), g_row("efm")
+    abw, c1, c0 = g_row("abw"), g_row("c1"), g_row("c0")
+    bm1, bm0, pm = g_row("bm1"), g_row("bm0"), g_row("pm")
+    end_row = jnp.transpose(
+        pre["end_row"].reshape(NG, G, S, W), (0, 2, 1, 3))
+
+    rrow_spec = lambda last: pl.BlockSpec(
+        (1, CHUNK, G) + last,
+        lambda g, c: (g, NC - 1 - c, 0) + (0,) * len(last),
+        memory_space=vmem)
+
+    n_out = 3 if mode == "posterior_all" else 1
+    bwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NG, NC),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
+            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # ef*
+            rrow_spec((W,)),  # em (own-cell match emissions)
+            pl.BlockSpec((1, CHUNK, S, G, W),
+                         lambda g, c: (g, NC - 1 - c, 0, 0, 0),
+                         memory_space=vmem),  # F
+            rrow_spec((W,)),  # bridgevec
+            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # abw c1 c0
+            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # bm1 bm0 pm
+            pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+                         memory_space=vmem),  # end rows
+        ],
+        out_specs=[rrow_spec((W,))] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+1}
+            pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+2}
+            pltpu.VMEM((G, 1), jnp.float32),  # 1/mb_{k+1}
+            pltpu.VMEM((G, W), jnp.float32),  # em_next
+            pltpu.VMEM((G, W), jnp.float32),  # bridgevec_{k+1}
+        ],
+    )
+
+    def bwd_wrapper(*refs):
+        ins = refs[:14]
+        outs = refs[14:14 + n_out]
+        scr = refs[14 + n_out:]
+        if n_out == 1:
+            outs = (outs[0], None, None)
+        _bwd_kernel(*ins, *outs, *scr, S=S, nz=nz, chunk=CHUNK, mode=mode)
+
+    posts = pl.pallas_call(
+        bwd_wrapper,
+        grid_spec=bwd_grid,
+        out_shape=[jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32)] * n_out,
+        **kp,
+    )(t_prob, efx, efy, efm, em, F_all, bridgevec,
+      abw, c1, c0, bm1, bm0, pm, end_row)
+
+    unrow = lambda arr: jnp.transpose(arr, (0, 2, 1, 3)).reshape(
+        NB, rows, W)[:B, :P + 1]
+    out["post_match"] = unrow(posts[0])
+    if mode == "posterior_all":
+        out["post_gap_x"] = unrow(posts[1])
+        out["post_gap_y"] = unrow(posts[2])
+    return out
+
+
+def supported(mode: str) -> bool:
+    return mode in ("forward", "posterior_match", "posterior_all")
+
+
+def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
+                            ragged_left, ragged_right,
+                            mode: str = "posterior_match", width: int = 0,
+                            interpret: bool | None = None):
+    """Batched banded FB pass via the Pallas wavefront kernels.
+
+    Same contract as ops.fb_batch.fb_pass_batch for the supported modes
+    ("forward", "posterior_match", "posterior_all"); "expectation" is
+    served by the scan engine. `interpret=None` auto-selects interpreter
+    mode off-TPU (tests on CPU run the same kernel code path).
+    """
+    if not supported(mode):
+        raise ValueError(f"wavefront engine does not support mode={mode!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nz = nonzero_transitions(jax.device_get(params["t"]))
+    S = int(params["start"].shape[0])
+    P = offsets.shape[1] - 1
+    rows = -(-(P + 1) // CHUNK) * CHUNK
+    return _fb_wavefront_jit(
+        params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),
+        jnp.asarray(widths), jnp.asarray(lx), jnp.asarray(ly),
+        jnp.asarray(ragged_left), jnp.asarray(ragged_right),
+        nz, S, mode, int(width), rows, bool(interpret))

@@ -1,0 +1,102 @@
+"""Parity tests: Pallas wavefront kernels vs the scan engine oracle.
+
+The wavefront kernels (ops/fb_wavefront.py) implement the identical
+scaled-probability recurrence as ops/fb.py, so the scan engine serves as
+the numerical oracle. On the CPU test backend the kernels execute in
+Pallas interpreter mode — the same kernel code path that Mosaic compiles
+on TPU.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from cpecan_tpu.models.state_machine import state_machine3, state_machine5
+from cpecan_tpu.ops import fb_batch, fb_wavefront
+from cpecan_tpu.ops.band import construct_band, full_band, pad_band
+from cpecan_tpu.utils.symbols import encode
+
+
+def _random_batch(rng, B=3, P=64, W=32, n=24):
+    sxs, sys_, offs, wids, lxs, lys = [], [], [], [], [], []
+    for i in range(B):
+        nx = int(n + rng.integers(-4, 4))
+        ny = int(n + rng.integers(-4, 4))
+        sx = np.zeros(P, np.int32)
+        sy = np.zeros(P, np.int32)
+        qx = "".join("ACGTN"[j] for j in rng.integers(0, 5, nx))
+        qy = "".join("ACGT"[j] for j in rng.integers(0, 4, ny))
+        sx[:nx] = encode(qx)
+        sy[:ny] = encode(qy)
+        if i == 0:
+            band = full_band(nx, ny)
+        else:
+            anchors = [(k, min(k, ny - 2))
+                       for k in range(4, min(nx, ny) - 4, 6)]
+            band = construct_band(anchors, nx, ny, 6)
+        o, w, L = pad_band(band, P, W)
+        sxs.append(sx)
+        sys_.append(sy)
+        offs.append(o)
+        wids.append(w)
+        lxs.append(nx)
+        lys.append(ny)
+    return (np.stack(sxs), np.stack(sys_), np.stack(offs), np.stack(wids),
+            np.asarray(lxs, np.int32), np.asarray(lys, np.int32))
+
+
+@pytest.mark.parametrize("sm_factory,mode", [
+    (state_machine5, "forward"),
+    (state_machine5, "posterior_all"),
+    (state_machine3, "posterior_match"),
+])
+def test_wavefront_matches_scan_engine(sm_factory, mode):
+    rng = np.random.default_rng(42)
+    W = 32
+    args = _random_batch(rng, W=W)
+    rl = np.array([False, True, False])
+    rr = np.array([False, False, True])
+    params = sm_factory().device_params()
+
+    ref = fb_batch.fb_pass_batch_scan(
+        params, *[jnp.asarray(a) for a in args], jnp.asarray(rl),
+        jnp.asarray(rr), mode=mode, width=W)
+    new = fb_wavefront.fb_pass_batch_wavefront(
+        params, *args, rl, rr, mode=mode, width=W)
+
+    np.testing.assert_allclose(np.asarray(new["log_fwd"]),
+                               np.asarray(ref["log_fwd"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new["mf"]), np.asarray(ref["mf"]),
+                               rtol=1e-4, atol=2e-5)
+    keys = ()
+    if mode == "posterior_match":
+        keys = ("post_match",)
+    elif mode == "posterior_all":
+        keys = ("post_match", "post_gap_x", "post_gap_y")
+    for k in keys:
+        np.testing.assert_allclose(np.asarray(new[k]), np.asarray(ref[k]),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_wavefront_nonzero_transitions():
+    t5 = np.asarray(state_machine5().device_params()["t"])
+    nz5 = fb_wavefront.nonzero_transitions(t5)
+    assert len(nz5) == 13  # the reference's 13 active 5-state transitions
+    t3 = np.asarray(state_machine3().device_params()["t"])
+    nz3 = fb_wavefront.nonzero_transitions(t3)
+    assert len(nz3) == 9
+    # middle-class transitions land only in the match state (the bridge
+    # restructuring in the kernels relies on this)
+    assert all(t == 0 for c, f, t in nz5 if c == 1)
+    assert all(t == 0 for c, f, t in nz3 if c == 1)
+
+
+def test_dispatch_scan_on_cpu():
+    # On the CPU test backend "auto" must pick the scan engine
+    import os
+    assert os.environ.get("CPECAN_TPU_ENGINE", "auto") != "wavefront"
+    params = state_machine5().device_params()
+    assert not fb_batch._use_wavefront(params, "expectation")
