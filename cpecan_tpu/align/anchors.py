@@ -202,11 +202,20 @@ def chain_runs(runs: np.ndarray) -> np.ndarray:
 def runs_to_anchor_pairs(runs: np.ndarray, trim: int, expansion: int) -> list:
     """Per-base (x, y, expansion) triples from match runs, trimming `trim`
     bases off each run end (reference anchor conversion :985-998)."""
-    anchors = []
-    for x, y, ln in runs:
-        for l in range(trim, ln - trim):
-            anchors.append((int(x + l), int(y + l), expansion))
-    return anchors
+    if len(runs) == 0:
+        return []
+    runs = np.asarray(runs, dtype=np.int64)
+    lens = np.maximum(runs[:, 2] - 2 * trim, 0)
+    if lens.sum() == 0:
+        return []
+    starts = np.repeat(runs[:, 0] + trim, lens)
+    ys = np.repeat(runs[:, 1] + trim, lens)
+    # offset within each run: arange restarted at every run boundary
+    idx = np.arange(lens.sum(), dtype=np.int64)
+    run_start = np.repeat(np.cumsum(lens) - lens, lens)
+    off = idx - run_start
+    return [(int(x), int(y), expansion)
+            for x, y in zip(starts + off, ys + off)]
 
 
 def filter_to_remove_overlap(pairs: list) -> list:
@@ -235,14 +244,27 @@ def filter_to_remove_overlap(pairs: list) -> list:
     return out
 
 
+def get_chained_runs(seq_x: str, seq_y: str, repeat_mask: bool,
+                     k: int = DEFAULT_KMER,
+                     max_occ: int = MAX_KMER_OCCURRENCES) -> np.ndarray:
+    """Chained match runs (n, 3) of (x, y, len): native C++ fast path
+    (native/anchors.cpp via align/native.py) with numpy fallback."""
+    from cpecan_tpu.align import native
+
+    if native.available():
+        return native.chained_runs(seq_x, seq_y, k, max_occ, repeat_mask)
+    seeds = find_seeds(seq_x, seq_y, k=k, respect_mask=repeat_mask,
+                       max_occ=max_occ)
+    runs = merge_seeds_to_runs(seeds, k)
+    return chain_runs(runs)
+
+
 def get_blast_pairs(seq_x: str, seq_y: str, trim: int, expansion: int,
                     repeat_mask: bool, k: int = DEFAULT_KMER) -> list:
     """Seed-and-chain anchor pairs for one rectangle, sorted by x+y
     (the getBlastPairs contract, reference :1005-1080). When repeat_mask is
     False the sequences are treated as unmasked (uppercased)."""
-    seeds = find_seeds(seq_x, seq_y, k=k, respect_mask=repeat_mask)
-    runs = merge_seeds_to_runs(seeds, k)
-    chained = chain_runs(runs)
+    chained = get_chained_runs(seq_x, seq_y, repeat_mask, k=k)
     pairs = runs_to_anchor_pairs(chained, trim, expansion)
     pairs.sort(key=lambda p: p[0] + p[1])
     return pairs

@@ -1,0 +1,92 @@
+"""ctypes bindings for the native C++ anchor generator (native/anchors.cpp).
+
+The shared library is built on demand with g++ (same pattern as the
+bench's C baseline). If the toolchain or the source is unavailable the
+callers fall back to the numpy implementation in anchors.py — identical
+semantics, so the numpy path doubles as the parity oracle
+(tests/test_native_anchors.py).
+
+Set CPECAN_TPU_NATIVE=0 to force the numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _build_and_load():
+    src = os.path.join(_repo_root(), "native", "anchors.cpp")
+    lib = os.path.join(_repo_root(), "native", "libcpecan_anchors.so")
+    if not os.path.exists(src):
+        return None
+    if (not os.path.exists(lib)
+            or os.path.getmtime(lib) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib, src],
+            check=True, capture_output=True)
+    cdll = ctypes.CDLL(lib)
+    cdll.cpecan_anchor_chain.restype = ctypes.c_int64
+    cdll.cpecan_anchor_chain.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+    ]
+    cdll.cpecan_anchors_free.restype = None
+    cdll.cpecan_anchors_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    return cdll
+
+
+def available() -> bool:
+    """True when the native library can be (lazily) built and loaded."""
+    global _lib, _lib_failed
+    if os.environ.get("CPECAN_TPU_NATIVE", "1") == "0":
+        return False
+    if _lib is not None:
+        return True
+    if _lib_failed:
+        return False
+    with _lock:
+        if _lib is None and not _lib_failed:
+            try:
+                _lib = _build_and_load()
+            except Exception:
+                _lib = None
+            if _lib is None:
+                _lib_failed = True
+    return _lib is not None
+
+
+def chained_runs(seq_x: str, seq_y: str, k: int, max_occ: int,
+                 respect_mask: bool) -> np.ndarray:
+    """Chained match runs (n, 3) of (x, y, len) via the C++ seeder/chainer."""
+    if not available():
+        raise RuntimeError("native anchors library unavailable")
+    bx = seq_x.encode("latin-1")
+    by = seq_y.encode("latin-1")
+    out = ctypes.POINTER(ctypes.c_int64)()
+    n = _lib.cpecan_anchor_chain(
+        bx, len(bx), by, len(by), k, max_occ, 1 if respect_mask else 0,
+        ctypes.byref(out))
+    if n < 0:
+        raise MemoryError("cpecan_anchor_chain allocation failure")
+    if n == 0:
+        return np.empty((0, 3), dtype=np.int64)
+    try:
+        runs = np.ctypeslib.as_array(out, shape=(int(n), 3)).copy()
+    finally:
+        _lib.cpecan_anchors_free(out)
+    return runs

@@ -1,0 +1,69 @@
+"""Parity: native C++ anchor seeder/chainer vs the numpy implementation.
+
+Both implement the same pipeline (exact k-mer seeds -> diagonal-run merge
+-> Fenwick monotone chaining); chains must match exactly on random
+evolved pairs. See native/anchors.cpp and cpecan_tpu/align/anchors.py.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from cpecan_tpu.align import anchors, native
+from cpecan_tpu.utils.symbols import evolve_sequence, get_random_sequence
+
+
+def _numpy_runs(seq_x, seq_y, k, max_occ, respect_mask):
+    seeds = anchors.find_seeds(seq_x, seq_y, k=k, respect_mask=respect_mask,
+                               max_occ=max_occ)
+    runs = anchors.merge_seeds_to_runs(seeds, k)
+    return anchors.chain_runs(runs)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native anchors library unavailable")
+@pytest.mark.parametrize("respect_mask", [True, False])
+def test_native_matches_numpy_chains(respect_mask):
+    rng = random.Random(7)
+    for trial in range(8):
+        n = rng.randint(200, 1200)
+        seq_x = get_random_sequence(n, rng)
+        seq_y = evolve_sequence(seq_x, rng)
+        nat = native.chained_runs(seq_x, seq_y, 12, 32, respect_mask)
+        ref = _numpy_runs(seq_x, seq_y, 12, 32, respect_mask)
+        ref = np.asarray(ref, dtype=np.int64).reshape(-1, 3)
+        # chains must be equally scored; with random data ties are rare so
+        # require exact equality, falling back to score equality on ties
+        if nat.shape == ref.shape and np.array_equal(nat, ref):
+            continue
+        assert nat[:, 2].sum() == ref[:, 2].sum(), (
+            f"chain scores differ: native {nat[:, 2].sum()} "
+            f"vs numpy {ref[:, 2].sum()}")
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native anchors library unavailable")
+def test_native_empty_and_short():
+    assert native.chained_runs("", "", 12, 32, True).shape == (0, 3)
+    assert native.chained_runs("ACGT", "ACGT", 12, 32, True).shape == (0, 3)
+    # N-only sequences have no valid k-mers
+    assert native.chained_runs("N" * 50, "N" * 50, 12, 32, True).shape == (0, 3)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native anchors library unavailable")
+def test_native_respects_softmask():
+    core = "ACGTTGCAACGGTCAGTCAA" * 4
+    # fully lowercase = repeat-masked everywhere: no seeds when respected
+    masked = core.lower()
+    assert native.chained_runs(masked, masked, 12, 32, True).shape[0] == 0
+    assert native.chained_runs(masked, masked, 12, 32, False).shape[0] > 0
+
+
+def test_runs_to_anchor_pairs_vectorized():
+    runs = np.array([[10, 20, 5], [100, 200, 3]], dtype=np.int64)
+    got = anchors.runs_to_anchor_pairs(runs, 1, 4)
+    expect = [(11, 21, 4), (12, 22, 4), (13, 23, 4), (101, 201, 4)]
+    assert got == expect
+    assert anchors.runs_to_anchor_pairs(runs, 3, 4) == []
