@@ -26,6 +26,7 @@ from cpecan_tpu.align.anchors import get_anchors
 from cpecan_tpu.align.split import get_split_points, split_anchors
 from cpecan_tpu.ops import fb
 from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils import metrics
 from cpecan_tpu.ops import pairs as pairs_mod
 from cpecan_tpu.utils.symbols import encode
 
@@ -64,12 +65,15 @@ def _run_chunk(sm: StateMachine, seq_x: str, seq_y: str, anchors,
     sx[:lx] = encode(seq_x)
     sy[:ly] = encode(seq_y)
 
-    out = fb.fb_pass(
-        sm.device_params(), jnp.asarray(sx), jnp.asarray(sy),
-        jnp.asarray(offsets), jnp.asarray(widths),
-        jnp.int32(lx), jnp.int32(ly),
-        bool(ragged_left), bool(ragged_right), mode=mode, width=W)
-    return {k: np.asarray(v) for k, v in out.items()}, band, offsets
+    with metrics.stage("fb_pass"):
+        out = fb.fb_pass(
+            sm.device_params(), jnp.asarray(sx), jnp.asarray(sy),
+            jnp.asarray(offsets), jnp.asarray(widths),
+            jnp.int32(lx), jnp.int32(ly),
+            bool(ragged_left), bool(ragged_right), mode=mode, width=W)
+        out = {k: np.asarray(v) for k, v in out.items()}
+    metrics.add("dp_cells", int(band.widths.sum()))
+    return out, band, offsets
 
 
 def _iterate_chunks(seq_x: str, seq_y: str, anchor_pairs,

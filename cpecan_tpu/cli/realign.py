@@ -23,6 +23,7 @@ from cpecan_tpu.io import cigar as cigar_io
 from cpecan_tpu.io.fasta import fasta_read_file
 from cpecan_tpu.msa.aligner import filter_pairwise_alignment_to_make_pairs_ordered
 from cpecan_tpu.ops import pairs as pairs_mod
+from cpecan_tpu.utils import metrics
 from cpecan_tpu.utils.logmath import PAIR_ALIGNMENT_PROB_1
 from cpecan_tpu.utils.symbols import reverse_complement
 
@@ -297,6 +298,9 @@ def main(argv=None, stdin=None, stdout=None) -> int:
 
     if hmm_expectations is not None:
         hmm_expectations.save(args.outputExpectations)
+    if metrics.enabled():
+        for line in metrics.report_lines():
+            print(f"metrics: {line}", file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,89 @@
+"""Integration accuracy harness: sensitivity/specificity on evolved pairs.
+
+The reference's long test (tests/pairwiseAlignerLongTest.c:40-121) runs the
+full aligner on ~0.5 Mb ENCODE pairs and logs sensitivity/specificity of
+the predicted aligned pairs against curated alignments. Without bundled
+genome data we plant the ground truth instead: sequences evolved with a
+*tracked* mutation process whose true base-to-base alignment is known
+exactly. Unlike the reference we assert the scores.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from cpecan_tpu.align.pairwise import get_aligned_pairs
+from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.models.state_machine import state_machine5
+from cpecan_tpu.ops.mea import mea_alignment
+from cpecan_tpu.align.pairwise import get_aligned_pairs_with_indels
+from cpecan_tpu.msa.aligner import filter_pairwise_alignment_to_make_pairs_ordered
+from cpecan_tpu.ops import pairs as pairs_mod
+
+
+def tracked_evolve(seq: str, rng: random.Random, sub_rate=0.1,
+                   indel_rate=0.02, max_indel=5):
+    """Evolve seq with substitutions and indels, returning (mutant,
+    true_pairs) where true_pairs is the exact set of (x, y) aligned
+    (possibly substituted) base pairs."""
+    out = []
+    true_pairs = []
+    y = 0
+    x = 0
+    n = len(seq)
+    while x < n:
+        r = rng.random()
+        if r < indel_rate:  # deletion: skip input bases
+            x += rng.randint(1, max_indel)
+            continue
+        if r < 2 * indel_rate:  # insertion: emit random bases
+            ins = rng.randint(1, max_indel)
+            out.extend(rng.choice("ACGT") for _ in range(ins))
+            y += ins
+            continue
+        c = seq[x]
+        if rng.random() < sub_rate:
+            c = rng.choice("ACGT")
+        out.append(c)
+        true_pairs.append((x, y))
+        x += 1
+        y += 1
+    return "".join(out), true_pairs
+
+
+def _sens_spec(predicted, truth):
+    truth_set = set(truth)
+    pred_set = {(int(x), int(y)) for x, y in predicted}
+    tp = len(pred_set & truth_set)
+    sens = tp / max(len(truth_set), 1)
+    spec = tp / max(len(pred_set), 1)
+    return sens, spec
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_posterior_decode_recovers_planted_alignment(seed):
+    rng = random.Random(seed)
+    n = 600
+    seq_x = "".join(rng.choice("ACGT") for _ in range(n))
+    seq_y, truth = tracked_evolve(seq_x, rng)
+
+    sm = state_machine5()
+    p = PairwiseAlignmentParameters()
+    pairs = get_aligned_pairs(sm, seq_x, seq_y, p)
+    assert len(pairs) > 0
+
+    # MEA decode on the thresholded posteriors
+    matches, gap_x, gap_y = get_aligned_pairs_with_indels(sm, seq_x, seq_y, p)
+    mea, _score = mea_alignment(pairs_mod.sort_pairs(matches), gap_x, gap_y,
+                                len(seq_x), len(seq_y), p.gapGamma)
+    sens, spec = _sens_spec(zip(mea["x"], mea["y"]), truth)
+    assert sens > 0.90, f"MEA sensitivity {sens:.3f}"
+    assert spec > 0.90, f"MEA specificity {spec:.3f}"
+
+    # poset-consistency decode (the cPecanRealign default path)
+    ordered = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs_mod.sort_pairs(pairs), seq_x, seq_y, 0.9)
+    sens2, spec2 = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
+    assert sens2 > 0.85, f"poset-filter sensitivity {sens2:.3f}"
+    assert spec2 > 0.90, f"poset-filter specificity {spec2:.3f}"
