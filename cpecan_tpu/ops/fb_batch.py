@@ -49,7 +49,7 @@ def fb_pass_batch_scan(params, sx, sy, offsets, widths, lx, ly,
     return out
 
 
-def _use_wavefront(params, mode: str) -> bool:
+def _use_wavefront(params, sx, mode: str) -> bool:
     from cpecan_tpu.ops import fb_wavefront
 
     engine = os.environ.get("CPECAN_TPU_ENGINE", "auto")
@@ -57,6 +57,9 @@ def _use_wavefront(params, mode: str) -> bool:
         return False
     if isinstance(params["t"], jax.core.Tracer):
         return False  # inside an outer trace; only the scan engine traces
+    sharding = getattr(sx, "sharding", None)
+    if sharding is not None and len(sharding.device_set) > 1:
+        return False  # multi-device batches run the sharded scan engine
     if engine == "wavefront":
         return True
     return jax.default_backend() == "tpu"
@@ -66,7 +69,7 @@ def fb_pass_batch(params, sx, sy, offsets, widths, lx, ly,
                   ragged_left, ragged_right, mode: str = "expectation",
                   width: int = 0):
     """Batch-of-pairs FB with automatic engine selection (see module doc)."""
-    if _use_wavefront(params, mode):
+    if _use_wavefront(params, sx, mode):
         from cpecan_tpu.ops import fb_wavefront
 
         return fb_wavefront.fb_pass_batch_wavefront(

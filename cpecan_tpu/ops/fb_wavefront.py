@@ -60,6 +60,9 @@ from cpecan_tpu.ops import fb as _fb
 # Default tile sizes: G pairs on sublanes, CH diagonals per grid step.
 GROUP = 8
 CHUNK = 64
+# the expectation kernel streams ~2x the inputs; smaller chunks keep its
+# double-buffered working set inside VMEM (EXP_CHUNK must divide CHUNK)
+EXP_CHUNK = 32
 
 # pm bitfield (int8 per (row, slot))
 _PM_MATCH = 1  # posterior-match valid: 1<=k<=L & slot & x>0 & y>0
@@ -290,6 +293,199 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
 
 
 # ---------------------------------------------------------------------------
+# Backward + expectation kernel (EM E-step)
+# ---------------------------------------------------------------------------
+
+
+def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
+                f_ref, fh_ref, bv_ref, abw_ref, c1_ref, c0_ref, bm1_ref,
+                bm0_ref, a_ref, b1_ref, b0_ref, pm_ref, end_ref,
+                adj1_ref, adj2_ref, wx_ref, wy_ref,
+                mb_ref, tot_ref, trans_ref, emis_ref,
+                b1_s, b2_s, invb_s, emn_s, bvn_s, tacc_s, eacc_s,
+                *, S, nz, chunk):
+    """Same backward recursion as _bwd_kernel plus expected-count
+    accumulation (semantics of diagonalCalculationExpectations /
+    updateExpectations, reference impl/pairwiseAligner.c:735-746,
+    :418-438): per cell, p = F_prev[f] * T_c * e_c * B_k[t] / total_k
+    flows into trans[f, t] and (via the cell's symbol pair) emis[t, a, b].
+
+    Neighbor F rows are re-read from the forward output with a 2-row halo
+    block; their scale adjustments exp(-mf_k) and exp(-mf_k - mf_{k-1})
+    arrive as precomputed per-row streams (adj1/adj2), with adj1 zeroed at
+    k < 1 and adj2 at k < 2 so boundary garbage never contributes.
+    Expected counts accumulate in VMEM vector accumulators (one (G, W)
+    lane-accumulator per active transition and per (state, symx, symy)
+    cell) and reduce to the (S, S) / (S, 4, 4) outputs on each pair
+    group's final grid step.
+    """
+    cr = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(cr == 0)
+    def _():
+        b1_s[...] = jnp.zeros_like(b1_s)
+        b2_s[...] = jnp.zeros_like(b2_s)
+        invb_s[...] = jnp.ones_like(invb_s)
+        emn_s[...] = jnp.zeros_like(emn_s)
+        bvn_s[...] = jnp.zeros_like(bvn_s)
+        tacc_s[...] = jnp.zeros_like(tacc_s)
+        eacc_s[...] = jnp.zeros_like(eacc_s)
+
+    x_targets = sorted({t for cl, f, t in nz if cl == 0})
+    y_targets = sorted({t for cl, f, t in nz if cl == 2})
+    m_targets = sorted({t for cl, f, t in nz if cl == 1})
+    xs_rows = sorted({f for cl, f, t in nz if cl == 0})
+    ys_rows = sorted({f for cl, f, t in nz if cl == 2})
+    mid_rows = sorted({f for cl, f, t in nz if cl == 1})
+
+    def body(i, _):
+        ii = chunk - 1 - i
+        efx = efx_ref[0, ii]
+        efy = efy_ref[0, ii]
+        efm = efm_ref[0, ii]
+        em_own = em_ref[0, ii]
+        abw = abw_ref[0, ii] != 0
+        c1 = c1_ref[0, ii] != 0
+        c0 = c0_ref[0, ii] != 0
+        bm1 = bm1_ref[0, ii] != 0
+        bm0 = bm0_ref[0, ii] != 0
+        pm = pm_ref[0, ii]
+
+        B1 = [b1_s[t] for t in range(S)]
+        B2 = [b2_s[t] for t in range(S)]
+        invb = invb_s[...]
+        em_next = emn_s[...]
+        bvn = bvn_s[...]
+
+        bxe = {t: jnp.where(abw, B1[t], _shift_l(B1[t])) * efx
+               for t in x_targets}
+        bye = {t: jnp.where(abw, _shift_r(B1[t]), B1[t]) * efy
+               for t in y_targets}
+        efmi = efm * invb
+        bme = {t: jnp.where(c1, _shift_r(B2[t]),
+                            jnp.where(c0, B2[t], _shift_l(B2[t]))) * efmi
+               for t in m_targets}
+
+        raw = [None] * S
+        for cl, f, t in nz:
+            term = (bxe[t] if cl == 0 else bme[t] if cl == 1 else bye[t])
+            term = term * t_ref[cl * S + f, t]
+            raw[f] = term if raw[f] is None else raw[f] + term
+        zero = jnp.zeros_like(efx)
+        raw = [zero if r_ is None else r_ for r_ in raw]
+
+        at_end = (pm & _PM_ATEND) != 0
+        ae_f = at_end.astype(jnp.float32)
+        ae_col = ae_f[:, :1]
+        for f in range(S):
+            raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
+
+        m = jnp.max(raw[0], axis=-1, keepdims=True)
+        for f in range(1, S):
+            m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+        good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
+        m = m * good + (1.0 - good)
+        r = 1.0 / m
+        B_new = [raw[f] * r for f in range(S)]
+
+        F_row = [f_ref[0, ii, s] for s in range(S)]
+        dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
+        for s in range(1, S):
+            dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1, keepdims=True)
+        br_sh = jnp.where(bm1, _shift_l(bvn), jnp.where(bm0, bvn, _shift_r(bvn)))
+        bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
+        bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
+        total = dot + bridge * r * bvalid
+        tot_ok = (total > 0).astype(jnp.float32)
+        invt = tot_ok / (total + (1.0 - tot_ok))
+
+        mb_ref[0, ii] = jnp.log(m)
+        tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
+
+        # ---- expectation accumulation ----
+        a_m = a_ref[0, ii] != 0
+        b1_m = b1_ref[0, ii] != 0
+        b0_m = b0_ref[0, ii] != 0
+        adj1 = adj1_ref[0, ii]  # (G, 1), zero for k < 1
+        adj2 = adj2_ref[0, ii]  # (G, 1), zero for k < 2
+        exa = ex_ref[0, ii] * adj1
+        eya = ey_ref[0, ii] * adj1
+        ema = em_own * adj2
+
+        # neighbor F rows: row ii-1 / ii-2 from the block, halo when the
+        # row falls in the next (already processed) chunk; boundary rows
+        # k<1 / k<2 are killed by the adj masks so clamped garbage is fine
+        g1 = (ii >= 1).astype(jnp.float32)
+        g2 = (ii >= 2).astype(jnp.float32)
+        i1 = jnp.maximum(ii - 1, 0)
+        i2 = jnp.maximum(ii - 2, 0)
+        ih = jnp.minimum(ii, 1)
+        Fm1 = [f_ref[0, i1, s] * g1 + fh_ref[0, 1, s] * (1.0 - g1)
+               for s in range(S)]
+        Fm2 = [f_ref[0, i2, s] * g2 + fh_ref[0, ih, s] * (1.0 - g2)
+               for s in range(S)]
+
+        nxe = {f: jnp.where(a_m, Fm1[f], _shift_r(Fm1[f])) * exa
+               for f in xs_rows}
+        nye = {f: jnp.where(a_m, _shift_l(Fm1[f]), Fm1[f]) * eya
+               for f in ys_rows}
+        nme = {f: jnp.where(b1_m, _shift_l(Fm2[f]),
+                            jnp.where(b0_m, Fm2[f], _shift_r(Fm2[f]))) * ema
+               for f in mid_rows}
+
+        Bw = [B_new[t] * invt for t in range(S)]
+        q = [zero] * S
+        for idx, (cl, f, t) in enumerate(nz):
+            n_e = (nxe[f] if cl == 0 else nme[f] if cl == 1 else nye[f])
+            tacc_s[idx] = tacc_s[idx] + n_e * Bw[t]
+            q[t] = q[t] + n_e * t_ref[cl * S + f, t]
+
+        wx = wx_ref[0, ii]
+        wy = wy_ref[0, ii]
+        sidx = jnp.where((wx < 4) & (wy < 4), wx * 4 + wy, 16)
+        for ab in range(16):
+            mask = (sidx == ab).astype(jnp.float32)
+            for t in range(S):
+                eacc_s[t * 16 + ab] = eacc_s[t * 16 + ab] + q[t] * Bw[t] * mask
+
+        for t in range(S):
+            b2_s[t] = B1[t] * (1.0 - ae_f)
+            b1_s[t] = B_new[t]
+        invb_s[...] = jnp.broadcast_to(r * (1.0 - ae_col) + ae_col, invb.shape)
+        emn_s[...] = em_own
+        bvn_s[...] = bv_ref[0, ii]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(cr == nc - 1)
+    def _():
+        # scalar scatter is unsupported in Mosaic; build the small output
+        # tensors by accumulating scalar * one-hot(iota) masks instead
+        vals = {}
+        for idx, (cl, f, t) in enumerate(nz):
+            v = jnp.sum(tacc_s[idx]) * t_ref[cl * S + f, t]
+            vals[(f, t)] = v if (f, t) not in vals else vals[(f, t)] + v
+        fi = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        trans = jnp.zeros((S, S), jnp.float32)
+        for (f, t), v in vals.items():
+            trans = trans + v * ((fi == f) & (ti == t)).astype(jnp.float32)
+        trans_ref[0] = trans
+        si = jax.lax.broadcasted_iota(jnp.int32, (S, 4, 4), 0)
+        ai = jax.lax.broadcasted_iota(jnp.int32, (S, 4, 4), 1)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (S, 4, 4), 2)
+        emis = jnp.zeros((S, 4, 4), jnp.float32)
+        for t in range(S):
+            for ab in range(16):
+                v = jnp.sum(eacc_s[t * 16 + ab])
+                mask = ((si == t) & (ai == ab // 4) & (bi == ab % 4))
+                emis = emis + v * mask.astype(jnp.float32)
+        emis_ref[0] = emis
+
+
+# ---------------------------------------------------------------------------
 # Host/XLA-side precompute and wrappers
 # ---------------------------------------------------------------------------
 
@@ -379,6 +575,8 @@ def _precompute_one(params, sx, sy, offsets, widths, lx, ly,
         "a": padr(a), "b1": padr(b1), "b0": padr(b0),
         "abw": padr(abw), "c1": padr(c1), "c0": padr(c0),
         "bm1": padr(bm1), "bm0": padr(bm0), "pm": padr(pm),
+        "wx": padr(wx[:, :W].astype(jnp.int32), fill=_fb._SENTINEL),
+        "wy": padr(wy[:, 1:].astype(jnp.int32), fill=_fb._SENTINEL),
         "F0": F0, "m0log": jnp.log(m0)[None], "end_row": end_row,
         "xoff": xoff, "jlo": jlo, "jhi": jhi, "L": L,
     }
@@ -405,9 +603,13 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         padn = (-B) % G
         rep = lambda arr: jnp.concatenate(
             [arr] + [arr[-1:]] * padn, axis=0)
+        zpad = lambda arr: jnp.concatenate(
+            [arr, jnp.zeros((padn,) + arr.shape[1:], arr.dtype)], axis=0)
         sx, sy = rep(sx), rep(sy)
         offsets, widths = rep(offsets), rep(widths)
-        lx, ly = rep(lx), rep(ly)
+        # zero lengths: padded pairs emit nothing and contribute zero
+        # expected counts (their emissions and scale-adjust streams vanish)
+        lx, ly = zpad(lx), zpad(ly)
         ragged_left, ragged_right = rep(ragged_left), rep(ragged_right)
     NB = sx.shape[0]
     NG = NB // G
@@ -488,6 +690,87 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
     end_row = jnp.transpose(
         pre["end_row"].reshape(NG, G, S, W), (0, 2, 1, 3))
 
+    if mode == "expectation":
+        CH = EXP_CHUNK
+        NC2 = rows // CH
+        wx, wy = g_row("wx"), g_row("wy")
+        ks = jnp.arange(rows)
+        # neighbor scale adjustments, zeroed at the boundary rows they
+        # must not touch (k<1 for F_{k-1}, k<2 for F_{k-2})
+        adj1 = jnp.exp(-mf) * (ks >= 1)[None, :, None, None]
+        mf_km1 = jnp.concatenate([jnp.zeros_like(mf[:, :1]), mf[:, :-1]],
+                                 axis=1)
+        adj2 = jnp.exp(-(mf + mf_km1)) * (ks >= 2)[None, :, None, None]
+
+        erow = lambda last: pl.BlockSpec(
+            (1, CH, G) + last,
+            lambda g, c: (g, NC2 - 1 - c, 0) + (0,) * len(last),
+            memory_space=vmem)
+        halo_spec = pl.BlockSpec(
+            (1, 2, S, G, W),
+            lambda g, c: (g,
+                          jnp.maximum((NC2 - 1 - c) * (CH // 2) - 1, 0),
+                          0, 0, 0),
+            memory_space=vmem)
+        exp_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(NG, NC2),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
+                erow((W,)), erow((W,)), erow((W,)),  # ef*
+                erow((W,)), erow((W,)), erow((W,)),  # em ex ey
+                pl.BlockSpec((1, CH, S, G, W),
+                             lambda g, c: (g, NC2 - 1 - c, 0, 0, 0),
+                             memory_space=vmem),  # F
+                halo_spec,  # F halo (rows c*CH-2, c*CH-1)
+                erow((W,)),  # bridgevec
+                erow((W,)), erow((W,)), erow((W,)),  # abw c1 c0
+                erow((W,)), erow((W,)),  # bm1 bm0
+                erow((W,)), erow((W,)), erow((W,)),  # a b1 b0
+                erow((W,)),  # pm
+                pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+                             memory_space=vmem),  # end rows
+                erow((1,)), erow((1,)),  # adj1 adj2
+                erow((W,)), erow((W,)),  # wx wy
+            ],
+            out_specs=[
+                erow((1,)), erow((1,)),  # mb, total_raw
+                pl.BlockSpec((1, S, S), lambda g, c: (g, 0, 0),
+                             memory_space=vmem),
+                pl.BlockSpec((1, S, 4, 4), lambda g, c: (g, 0, 0, 0),
+                             memory_space=vmem),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+1}
+                pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+2}
+                pltpu.VMEM((G, 1), jnp.float32),  # 1/mb_{k+1}
+                pltpu.VMEM((G, W), jnp.float32),  # em_next
+                pltpu.VMEM((G, W), jnp.float32),  # bridgevec_{k+1}
+                pltpu.VMEM((len(nz), G, W), jnp.float32),  # trans acc
+                pltpu.VMEM((S * 16, G, W), jnp.float32),  # emis acc
+            ],
+        )
+        mb, tot, trans, emis = pl.pallas_call(
+            functools.partial(_exp_kernel, S=S, nz=nz, chunk=CH),
+            grid_spec=exp_grid,
+            out_shape=[
+                jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
+                jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
+                jax.ShapeDtypeStruct((NG, S, S), jnp.float32),
+                jax.ShapeDtypeStruct((NG, S, 4, 4), jnp.float32),
+            ],
+            **kp,
+        )(t_prob, efx, efy, efm, em, ex, ey, F_all, F_all, bridgevec,
+          abw, c1, c0, bm1, bm0, a, b1, b0, pm, end_row, adj1, adj2, wx, wy)
+
+        uncol = lambda arr: jnp.transpose(arr[..., 0], (0, 2, 1)).reshape(
+            NB, rows)[:B, :P + 1]
+        out["mb"] = uncol(mb)
+        out["total_raw"] = uncol(tot)
+        out["trans"] = jnp.sum(trans, axis=0)
+        out["emis"] = jnp.sum(emis, axis=0)
+        return out
+
     rrow_spec = lambda last: pl.BlockSpec(
         (1, CHUNK, G) + last,
         lambda g, c: (g, NC - 1 - c, 0) + (0,) * len(last),
@@ -546,7 +829,8 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
 
 
 def supported(mode: str) -> bool:
-    return mode in ("forward", "posterior_match", "posterior_all")
+    return mode in ("forward", "posterior_match", "posterior_all",
+                    "expectation")
 
 
 def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
@@ -555,10 +839,11 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                             interpret: bool | None = None):
     """Batched banded FB pass via the Pallas wavefront kernels.
 
-    Same contract as ops.fb_batch.fb_pass_batch for the supported modes
-    ("forward", "posterior_match", "posterior_all"); "expectation" is
-    served by the scan engine. `interpret=None` auto-selects interpreter
-    mode off-TPU (tests on CPU run the same kernel code path).
+    Same contract as ops.fb_batch.fb_pass_batch for every mode (in
+    expectation mode trans/emis come back batch-summed, with per-pair mb
+    and total_raw for the host-side float64 likelihood recombination).
+    `interpret=None` auto-selects interpreter mode off-TPU (tests on CPU
+    run the same kernel code path).
     """
     if not supported(mode):
         raise ValueError(f"wavefront engine does not support mode={mode!r}")

@@ -51,6 +51,8 @@ def _random_batch(rng, B=3, P=64, W=32, n=24):
     (state_machine5, "forward"),
     (state_machine5, "posterior_all"),
     (state_machine3, "posterior_match"),
+    (state_machine5, "expectation"),
+    (state_machine3, "expectation"),
 ])
 def test_wavefront_matches_scan_engine(sm_factory, mode):
     rng = np.random.default_rng(42)
@@ -79,6 +81,23 @@ def test_wavefront_matches_scan_engine(sm_factory, mode):
     for k in keys:
         np.testing.assert_allclose(np.asarray(new[k]), np.asarray(ref[k]),
                                    rtol=1e-3, atol=2e-5)
+    if mode == "expectation":
+        np.testing.assert_allclose(np.asarray(new["trans"]),
+                                   np.asarray(ref["trans"]),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new["emis"]),
+                                   np.asarray(ref["emis"]),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new["mb"]),
+                                   np.asarray(ref["mb"]),
+                                   rtol=1e-4, atol=2e-5)
+        lx, ly = args[4], args[5]
+        for i in range(len(lx)):
+            L = int(lx[i] + ly[i])
+            np.testing.assert_allclose(
+                np.asarray(new["total_raw"])[i, 1:L + 1],
+                np.asarray(ref["total_raw"])[i, 1:L + 1],
+                rtol=1e-4, atol=2e-5)
 
 
 def test_wavefront_nonzero_transitions():
@@ -99,4 +118,5 @@ def test_dispatch_scan_on_cpu():
     import os
     assert os.environ.get("CPECAN_TPU_ENGINE", "auto") != "wavefront"
     params = state_machine5().device_params()
-    assert not fb_batch._use_wavefront(params, "expectation")
+    sx = jnp.zeros((2, 8), jnp.int32)
+    assert not fb_batch._use_wavefront(params, sx, "expectation")
