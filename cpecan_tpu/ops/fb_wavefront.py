@@ -119,17 +119,14 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
     mid_rows = sorted({f for cl, f, t in nz if cl == 1})
     match_tm = [(f, t) for cl, f, t in nz if cl == 1 and t == 0]
 
-    def body(i, _):
+    def body(i, carry):
+        F1, F2, invm = carry
         ex = ex_ref[0, i]
         ey = ey_ref[0, i]
         em = em_ref[0, i]
         a = a_ref[0, i] != 0
         b1 = b1_ref[0, i] != 0
         b0 = b0_ref[0, i] != 0
-
-        F1 = [f1_s[f] for f in range(S)]
-        F2 = [f2_s[f] for f in range(S)]
-        invm = invm_s[...]
 
         # lower neighbor (consumes X): shift d-1 in {-1,0}
         lx = {f: jnp.where(a, F1[f], _shift_r(F1[f])) * ex for f in xs_rows}
@@ -166,22 +163,25 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
             bv = bv + F2[f] * t_ref[S + f, t]
         bv_ref[0, i] = bv * invm
 
+        F_new = []
         for t in range(S):
             f_new = cur[t] * r
             fout_ref[0, i, t] = f_new
-            f2_s[t] = F1[t]
-            f1_s[t] = f_new
+            F_new.append(f_new)
         mf_ref[0, i] = jnp.log(m)
-        invm_s[...] = jnp.broadcast_to(r, invm.shape)
-        return 0
+        return (tuple(F_new), tuple(F1),
+                jnp.broadcast_to(r, invm.shape))
 
-    # row 0 of chunk 0 is the precomputed F0 (written above); every other
-    # chunk starts its recursion at local row 0
-    @pl.when(c > 0)
-    def _():
-        body(0, 0)
-
-    jax.lax.fori_loop(1, chunk, body, 0)
+    # DP carries ride fori_loop registers; VMEM scratch only bridges the
+    # sequential grid steps. Row 0 of chunk 0 is the precomputed F0.
+    init = (tuple(f1_s[f] for f in range(S)),
+            tuple(f2_s[f] for f in range(S)), invm_s[...])
+    lo = jnp.where(c == 0, 1, 0)
+    F1c, F2c, invmc = jax.lax.fori_loop(lo, chunk, body, init)
+    for t in range(S):
+        f1_s[t] = F1c[t]
+        f2_s[t] = F2c[t]
+    invm_s[...] = invmc
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +208,8 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
     y_targets = sorted({t for cl, f, t in nz if cl == 2})
     m_targets = sorted({t for cl, f, t in nz if cl == 1})
 
-    def body(i, _):
+    def body(i, carry):
+        B1, B2, invb, em_next, bvn = carry
         ii = chunk - 1 - i
         efx = efx_ref[0, ii]
         efy = efy_ref[0, ii]
@@ -220,12 +221,6 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
         bm1 = bm1_ref[0, ii] != 0
         bm0 = bm0_ref[0, ii] != 0
         pm = pm_ref[0, ii]
-
-        B1 = [b1_s[t] for t in range(S)]
-        B2 = [b2_s[t] for t in range(S)]
-        invb = invb_s[...]
-        em_next = emn_s[...]
-        bvn = bvn_s[...]
 
         # receive from k+1: x-class at shift 1-d1 in {0,1}; y at -d1 in
         # {-1,0}; from k+2: m-class at shift 1-dsum2 in {-1,0,1}
@@ -259,7 +254,7 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
         good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
         m = m * good + (1.0 - good)
         r = 1.0 / m
-        B_new = [raw[f] * r for f in range(S)]
+        B_new = tuple(raw[f] * r for f in range(S))
 
         # per-diagonal total: dot + bridge (reference :636-653)
         F_row = [f_ref[0, ii, s] for s in range(S)]
@@ -281,15 +276,20 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
             post_y_ref[0, ii] = jnp.where(
                 (pm & _PM_GAPY) != 0, F_row[2] * B_new[2] * invt, 0.0)
 
-        for t in range(S):
-            b2_s[t] = B1[t] * (1.0 - ae_f)
-            b1_s[t] = B_new[t]
-        invb_s[...] = jnp.broadcast_to(r * (1.0 - ae_col) + ae_col, invb.shape)
-        emn_s[...] = em_own
-        bvn_s[...] = bv_ref[0, ii]
-        return 0
+        B2_new = tuple(B1[t] * (1.0 - ae_f) for t in range(S))
+        invb_new = jnp.broadcast_to(r * (1.0 - ae_col) + ae_col, invb.shape)
+        return (B_new, B2_new, invb_new, em_own, bv_ref[0, ii])
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    init = (tuple(b1_s[t] for t in range(S)),
+            tuple(b2_s[t] for t in range(S)),
+            invb_s[...], emn_s[...], bvn_s[...])
+    B1c, B2c, invbc, emnc, bvnc = jax.lax.fori_loop(0, chunk, body, init)
+    for t in range(S):
+        b1_s[t] = B1c[t]
+        b2_s[t] = B2c[t]
+    invb_s[...] = invbc
+    emn_s[...] = emnc
+    bvn_s[...] = bvnc
 
 
 # ---------------------------------------------------------------------------
