@@ -1,0 +1,150 @@
+"""Cross-pair batched posterior alignment.
+
+The reference processes one cigar at a time through the banded engine
+(cPecanRealign.c main loop). On TPU that leaves the chip idle between
+tiny launches, so here many pairs' band chunks are flattened into
+shape-bucketed device batches: every chunk produced by large-gap
+splitting (align/split.py) across *all* jobs becomes one row of a
+(padded diagonals, padded width) bucket, each bucket runs through
+fb_batch.fb_pass_batch once (the Pallas wavefront engine on TPU), and
+posterior pairs scatter back to their jobs with the chunk coordinate
+shifts. This is the read-pairs/sec path the CLIs use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.models.state_machine import StateMachine
+from cpecan_tpu.align.pairwise import (
+    _bucket, _iterate_chunks, _width_bucket)
+from cpecan_tpu.ops import fb_batch
+from cpecan_tpu.ops import pairs as pairs_mod
+from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils import metrics
+from cpecan_tpu.utils.symbols import encode
+
+
+@dataclasses.dataclass
+class _Task:
+    job: int
+    x1: int
+    y1: int
+    sub_x: str
+    sub_y: str
+    anchors: list
+    ragged_left: bool
+    ragged_right: bool
+
+
+def _batch_bucket_size(n: int) -> int:
+    """Pad batch sizes to powers of two (bounds the number of compiled
+    shapes per (P, W) bucket)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _expand_jobs(jobs, p):
+    tasks = []
+    for ji, (seq_x, seq_y, anchor_pairs, rl0, rr0) in enumerate(jobs):
+        for (x1, y1, x2, y2), local, rl, rr in _iterate_chunks(
+                seq_x, seq_y, anchor_pairs, p, rl0, rr0):
+            if x2 - x1 == 0 and y2 - y1 == 0:
+                continue
+            tasks.append(_Task(ji, x1, y1, seq_x[x1:x2], seq_y[y1:y2],
+                               local, rl, rr))
+    return tasks
+
+
+def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
+                     mode: str = "posterior_match"):
+    """Run all jobs' band chunks through shape-bucketed device batches.
+
+    jobs: iterable of (seq_x, seq_y, anchor_pairs, ragged_left,
+    ragged_right). Returns, per job, the thresholded posterior pair
+    array(s): one array in posterior_match mode, a (match, gap_x, gap_y)
+    triple in posterior_all mode.
+    """
+    n_out = 3 if mode == "posterior_all" else 1
+    keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
+    results = [[[] for _ in jobs] for _ in range(n_out)]
+
+    tasks = _expand_jobs(jobs, p)
+    buckets: dict = {}
+    for t in tasks:
+        if p.dynamicAnchorExpansion:
+            band = construct_band(t.anchors, len(t.sub_x), len(t.sub_y),
+                                  expansion=None)
+        else:
+            band = construct_band([(a[0], a[1]) for a in t.anchors],
+                                  len(t.sub_x), len(t.sub_y),
+                                  p.diagonalExpansion)
+        P = _bucket(band.diagonal_number)
+        W = _width_bucket(band.frame_width())
+        buckets.setdefault((P, W), []).append((t, band))
+
+    params = sm.device_params()
+    for (P, W), items in sorted(buckets.items()):
+        B = _batch_bucket_size(len(items))
+        sx = np.zeros((B, P), np.int32)
+        sy = np.zeros((B, P), np.int32)
+        offsets = np.zeros((B, P + 1), np.int32)
+        offsets[:, 1::2] = 1  # parity-consistent pad rows
+        widths = np.ones((B, P + 1), np.int32)
+        lx = np.zeros(B, np.int32)
+        ly = np.zeros(B, np.int32)
+        rl = np.zeros(B, bool)
+        rr = np.zeros(B, bool)
+        offs_per = []
+        for i, (t, band) in enumerate(items):
+            o, w, L = pad_band(band, P)
+            offsets[i] = o
+            widths[i] = w
+            offs_per.append(o.astype(np.int64))
+            sx[i, : len(t.sub_x)] = encode(t.sub_x)
+            sy[i, : len(t.sub_y)] = encode(t.sub_y)
+            lx[i] = len(t.sub_x)
+            ly[i] = len(t.sub_y)
+            rl[i] = t.ragged_left
+            rr[i] = t.ragged_right
+
+        cells = int(widths[: len(items)].sum())
+        with metrics.stage("fb_pass"):
+            out = fb_batch.fb_pass_batch(
+                params, jnp.asarray(sx), jnp.asarray(sy),
+                jnp.asarray(offsets), jnp.asarray(widths),
+                jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(rl),
+                jnp.asarray(rr), mode=mode, width=W)
+            posts = [np.asarray(out[k]) for k in keys]
+        metrics.add("dp_cells", cells)
+
+        for i, (t, band) in enumerate(items):
+            L = band.diagonal_number
+            for oi in range(n_out):
+                results[oi][t.job].append(pairs_mod.extract_pairs_from_posteriors(
+                    posts[oi][i], offs_per[i], L, p.threshold, t.x1, t.y1))
+
+    merged = [[pairs_mod.concat_pairs(job_lists) for job_lists in res]
+              for res in results]
+    if mode == "posterior_match":
+        return merged[0]
+    return list(zip(*merged))
+
+
+def get_aligned_pairs_batch(sm: StateMachine, jobs,
+                            p: PairwiseAlignmentParameters):
+    """Batched get_aligned_pairs_using_anchors over many jobs."""
+    return batch_posteriors(sm, jobs, p, mode="posterior_match")
+
+
+def get_aligned_pairs_with_indels_batch(sm: StateMachine, jobs,
+                                        p: PairwiseAlignmentParameters):
+    """Batched get_aligned_pairs_with_indels_using_anchors: per job a
+    (match, gap_x, gap_y) pair-array triple."""
+    return batch_posteriors(sm, jobs, p, mode="posterior_all")

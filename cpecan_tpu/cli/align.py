@@ -15,7 +15,9 @@ import sys
 from cpecan_tpu.config import PairwiseAlignmentParameters
 from cpecan_tpu.models.hmm import Hmm
 from cpecan_tpu.models.state_machine import state_machine5, state_machine_from_hmm
-from cpecan_tpu.align import pairwise
+from cpecan_tpu.align import batch as batch_align
+from cpecan_tpu.align import pairwise  # noqa: F401 (API surface)
+from cpecan_tpu.align.anchors import get_anchors
 from cpecan_tpu.io import cigar as cigar_io
 from cpecan_tpu.io.fasta import fasta_read_file
 from cpecan_tpu.msa.aligner import filter_pairwise_alignment_to_make_pairs_ordered
@@ -36,6 +38,8 @@ def main(argv=None, stdout=None) -> int:
     ap.add_argument("fasta_query")
     ap.add_argument("--loadHmm", default=None)
     ap.add_argument("--matchGamma", type=float, default=0.9)
+    ap.add_argument("--batchPairs", type=int, default=32,
+                    help="pairs per cross-pair device batch")
     args = ap.parse_args(argv)
     stdout = stdout or sys.stdout
 
@@ -46,11 +50,20 @@ def main(argv=None, stdout=None) -> int:
     targets = read_fasta_by_first_token(args.fasta_target)
     queries = read_fasta_by_first_token(args.fasta_query)
 
+    # all query x target pairs in cross-pair device batches
+    meta = []
+    jobs = []
     for query_header, query_seq in queries.items():
         for target_header, target_seq in targets.items():
-            aligned = pairwise.get_aligned_pairs(
-                sm, target_seq, query_seq, p,
-                ragged_left=True, ragged_right=True)
+            anchors = get_anchors(target_seq, query_seq, p)
+            meta.append((query_header, query_seq, target_header, target_seq))
+            jobs.append((target_seq, query_seq, anchors, True, True))
+
+    for group_start in range(0, len(jobs), args.batchPairs):
+        chunk = slice(group_start, group_start + args.batchPairs)
+        results = batch_align.get_aligned_pairs_batch(sm, jobs[chunk], p)
+        for (query_header, query_seq, target_header, target_seq), aligned \
+                in zip(meta[chunk], results):
             aligned = pairs_mod.reweight_aligned_pairs(
                 aligned, len(target_seq), len(query_seq), p.gapGamma)
             aligned = filter_pairwise_alignment_to_make_pairs_ordered(

@@ -18,6 +18,7 @@ from cpecan_tpu.config import PairwiseAlignmentParameters
 from cpecan_tpu.models.hmm import Hmm, StateMachineType
 from cpecan_tpu.models.state_machine import (
     state_machine5, state_machine_from_hmm)
+from cpecan_tpu.align import batch as batch_align
 from cpecan_tpu.align import pairwise
 from cpecan_tpu.io import cigar as cigar_io
 from cpecan_tpu.io.fasta import fasta_read_file
@@ -194,6 +195,8 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--outputAllPosteriorProbs", default=None)
     ap.add_argument("--outputExpectations", default=None)
     ap.add_argument("--loadHmm", default=None)
+    ap.add_argument("--batchPairs", type=int, default=32,
+                    help="records per cross-pair device batch")
     return ap
 
 
@@ -226,32 +229,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
 
     sequences = read_sequences(args.fastas)
 
-    for pa in cigar_io.cigar_read(stdin):
-        seq_x = sequences[pa.contig1]
-        seq_y = sequences[pa.contig2]
-        flip1, flip2 = not pa.strand1, not pa.strand2
-        shift1 = pa.start1 if pa.strand1 else pa.end1
-        shift2 = pa.start2 if pa.strand2 else pa.end2
-        sub_x = get_sub_sequence(seq_x, pa.start1, pa.end1, pa.strand1)
-        sub_y = get_sub_sequence(seq_y, pa.start2, pa.end2, pa.strand2)
-        pa.start1, pa.end1, pa.strand1 = rebase(pa.start1, pa.end1, pa.strand1, -shift1, flip1)
-        pa.start2, pa.end2, pa.strand2 = rebase(pa.start2, pa.end2, pa.strand2, -shift2, flip2)
-        pa.check()
-
-        anchors = cigar_io.alignment_to_anchor_pairs(
-            pa, p.constraintDiagonalTrim, p.diagonalExpansion)
-        filtered_anchors = filter_anchors_to_matches(anchors, sub_x, sub_y)
-
-        if hmm_expectations is not None:
-            pairwise.get_expectations_using_anchors(
-                sm, hmm_expectations, sub_x, sub_y, filtered_anchors, p,
-                ragged_left=True, ragged_right=True)
-            continue
-
-        aligned = pairwise.get_aligned_pairs_using_anchors(
-            sm, sub_x, sub_y, filtered_anchors, p,
-            ragged_left=True, ragged_right=True)
-
+    def emit_record(pa, sub_x, sub_y, anchors, aligned,
+                    shift1, flip1, shift2, flip2):
         if args.outputAllPosteriorProbs:
             write_posterior_probs(
                 args.outputAllPosteriorProbs, aligned,
@@ -295,6 +274,58 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                 cigar_io.cigar_write(stdout, sub_pa)
         else:
             cigar_io.cigar_write(stdout, rpa)
+
+    def prepare(pa):
+        """Per-record preprocessing: subsequences, rebasing, anchors."""
+        seq_x = sequences[pa.contig1]
+        seq_y = sequences[pa.contig2]
+        flip1, flip2 = not pa.strand1, not pa.strand2
+        shift1 = pa.start1 if pa.strand1 else pa.end1
+        shift2 = pa.start2 if pa.strand2 else pa.end2
+        sub_x = get_sub_sequence(seq_x, pa.start1, pa.end1, pa.strand1)
+        sub_y = get_sub_sequence(seq_y, pa.start2, pa.end2, pa.strand2)
+        pa.start1, pa.end1, pa.strand1 = rebase(pa.start1, pa.end1, pa.strand1, -shift1, flip1)
+        pa.start2, pa.end2, pa.strand2 = rebase(pa.start2, pa.end2, pa.strand2, -shift2, flip2)
+        pa.check()
+        anchors = cigar_io.alignment_to_anchor_pairs(
+            pa, p.constraintDiagonalTrim, p.diagonalExpansion)
+        filtered_anchors = filter_anchors_to_matches(anchors, sub_x, sub_y)
+        return (pa, sub_x, sub_y, anchors, filtered_anchors,
+                shift1, flip1, shift2, flip2)
+
+    def batches(it, n):
+        group = []
+        for rec in it:
+            group.append(rec)
+            if len(group) >= n:
+                yield group
+                group = []
+        if group:
+            yield group
+
+    for group in batches(cigar_io.cigar_read(stdin), max(args.batchPairs, 1)):
+        prepared = [prepare(pa) for pa in group]
+
+        if hmm_expectations is not None:
+            for (pa, sub_x, sub_y, anchors, filtered_anchors,
+                 shift1, flip1, shift2, flip2) in prepared:
+                pairwise.get_expectations_using_anchors(
+                    sm, hmm_expectations, sub_x, sub_y, filtered_anchors, p,
+                    ragged_left=True, ragged_right=True)
+            continue
+
+        # one cross-record device batch per group (reference realigns one
+        # cigar at a time, cPecanRealign.c:509)
+        jobs = [(sub_x, sub_y, filtered_anchors, True, True)
+                for (pa, sub_x, sub_y, anchors, filtered_anchors,
+                     *_rest) in prepared]
+        all_aligned = batch_align.get_aligned_pairs_batch(sm, jobs, p)
+
+        for rec, aligned in zip(prepared, all_aligned):
+            (pa, sub_x, sub_y, anchors, filtered_anchors,
+             shift1, flip1, shift2, flip2) = rec
+            emit_record(pa, sub_x, sub_y, anchors, aligned,
+                        shift1, flip1, shift2, flip2)
 
     if hmm_expectations is not None:
         hmm_expectations.save(args.outputExpectations)
