@@ -29,14 +29,15 @@ def _repo_root() -> str:
 
 
 def _build_and_load():
-    src = os.path.join(_repo_root(), "native", "anchors.cpp")
-    lib = os.path.join(_repo_root(), "native", "libcpecan_anchors.so")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_repo_root(), "native", f)
+            for f in ("anchors.cpp", "posetfilter.cpp")]
+    lib = os.path.join(_repo_root(), "native", "libcpecan.so")
+    if not all(os.path.exists(s) for s in srcs):
         return None
     if (not os.path.exists(lib)
-            or os.path.getmtime(lib) < os.path.getmtime(src)):
+            or os.path.getmtime(lib) < max(os.path.getmtime(s) for s in srcs)):
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib, src],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib] + srcs,
             check=True, capture_output=True)
     cdll = ctypes.CDLL(lib)
     cdll.cpecan_anchor_chain.restype = ctypes.c_int64
@@ -47,6 +48,14 @@ def _build_and_load():
     ]
     cdll.cpecan_anchors_free.restype = None
     cdll.cpecan_anchors_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    cdll.cpecan_filter_pairs_ordered.restype = ctypes.c_int64
+    cdll.cpecan_filter_pairs_ordered.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_double,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
     return cdll
 
 
@@ -90,3 +99,20 @@ def chained_runs(seq_x: str, seq_y: str, k: int, max_occ: int,
     finally:
         _lib.cpecan_anchors_free(out)
     return runs
+
+
+def filter_pairs_ordered(pairs, match_gamma: float) -> np.ndarray:
+    """Keep-mask over a posterior pair array for the 2-sequence
+    poset-consistency decode (native/posetfilter.cpp); bit-compatible with
+    the Python progressive-MSA path in msa/aligner.py."""
+    if not available():
+        raise RuntimeError("native library unavailable")
+    n = len(pairs)
+    keep = np.zeros(n, np.uint8)
+    if n:
+        _lib.cpecan_filter_pairs_ordered(
+            np.ascontiguousarray(pairs["prob"], np.int64),
+            np.ascontiguousarray(pairs["x"], np.int64),
+            np.ascontiguousarray(pairs["y"], np.int64),
+            n, float(match_gamma), keep)
+    return keep.astype(bool)

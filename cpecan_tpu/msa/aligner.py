@@ -313,7 +313,15 @@ def filter_multiple_aligned_pairs(store: ColumnStore, multiple_aligned_pairs):
 def filter_pairwise_alignment_to_make_pairs_ordered(aligned_pairs, seq_x, seq_y,
                                                     match_gamma: float):
     """Default pairwise decode path: run the 2-seq progressive MSA over the
-    posterior pairs and keep the consistent subset (reference :945-971)."""
+    posterior pairs and keep the consistent subset (reference :945-971).
+    Uses the native C++ decoder when available (bit-identical, including
+    the MT19937 tie-break jitter; native/posetfilter.cpp)."""
+    from cpecan_tpu.align import native
+
+    if native.available():
+        keep = native.filter_pairs_ordered(aligned_pairs, match_gamma)
+        return aligned_pairs[keep]
+
     mpairs = np.empty(len(aligned_pairs), dtype=MULTIPLE_PAIR_DTYPE)
     mpairs["prob"] = aligned_pairs["prob"]
     mpairs["seq1"] = 0

@@ -54,12 +54,15 @@ class BandTensors:
         return self.offsets + 2 * (self.widths - 1)
 
 
-def _set_diagonals(xay: np.ndarray, xL: int, yL: int, xU: int, yU: int):
+def _set_diagonals(xay: np.ndarray, xL, yL, xU, yU):
     """Vectorized band_setCurrentDiagonal (reference impl/pairwiseAligner.c:
     104-122): intersect diagonal xay with the anchor rectangle, fixing
-    parity and clipping both ends."""
-    xmyL = np.full_like(xay, xL - yL)
-    xmyR = np.full_like(xay, xU - yU)
+    parity and clipping both ends. The rectangle coordinates may be scalars
+    or per-diagonal arrays."""
+    xmyL = np.broadcast_to(np.asarray(xL - yL, dtype=xay.dtype),
+                           xay.shape).copy()
+    xmyR = np.broadcast_to(np.asarray(xU - yU, dtype=xay.dtype),
+                           xay.shape).copy()
     # band_avoidOffByOne (:94-96)
     xmyL = np.where((xay + xmyL) % 2 != 0, xmyL + 1, xmyL)
     xmyR = np.where((xay + xmyR) % 2 != 0, xmyR + 1, xmyR)
@@ -94,52 +97,54 @@ def construct_band(anchor_pairs, lx: int, ly: int, expansion: int | None = None)
         assert expansion % 2 == 0
 
     n_diag = lx + ly
-    offsets = np.zeros(n_diag + 1, dtype=np.int64)
-    widths = np.zeros(n_diag + 1, dtype=np.int64)
 
-    anchors = list(anchor_pairs)
-    # Walk the anchor segments on the host (cheap: O(#anchors)); vectorize
-    # the per-diagonal interval math within each segment.
-    pxay, pxmy = 0, 0
-    nxay, nxmy = 0, 0
-    exp_cur = 0 if dynamic else expansion
-    rect = (0, 0, 0, 0)
-    anchor_idx = 0
-    xay = 0
-    seg_start = 0  # first diagonal the current rect applies to
-    while seg_start <= n_diag:
-        # Emit diagonals [seg_start .. min(nxay, n_diag)] under current rect.
-        seg_end = min(nxay, n_diag)
-        ks = np.arange(seg_start, seg_end + 1, dtype=np.int64)
-        if len(ks):
-            xmyL, xmyR = _set_diagonals(ks, *rect)
-            offsets[ks] = xmyL
-            widths[ks] = (xmyR - xmyL) // 2 + 1
-        if seg_end >= n_diag:
-            break
-        # Update at boundary xay == nxay (reference :144-177 / :200-230)
-        pxay, pxmy = nxay, nxmy
-        x, y = lx, ly
-        if anchor_idx < len(anchors):
-            anchor = anchors[anchor_idx]
-            anchor_idx += 1
-            x = int(anchor[0]) + 1  # matrix coordinates are +1 the sequence ones
-            y = int(anchor[1]) + 1
-            if dynamic:
-                exp_cur = int(anchor[2])
-                assert exp_cur >= 0 and exp_cur % 2 == 0
-            assert 0 < x <= lx and 0 < y <= ly
-        nxay = x + y
-        nxmy = x - y
-        # Anchor rectangle (reference :226-229); expansion is even and
-        # (xay+xmy) parity holds, so the divisions are exact.
-        rect = (
-            _bound((pxay + pxmy - exp_cur) // 2, lx),  # xL
-            _bound((nxay - nxmy + exp_cur) // 2, ly),  # yL
-            _bound((nxay + nxmy + exp_cur) // 2, lx),  # xU
-            _bound((pxay - pxmy - exp_cur) // 2, ly),  # yU
-        )
-        seg_start = seg_end + 1
+    anchors = np.asarray(list(anchor_pairs), dtype=np.int64)
+    if anchors.size == 0:
+        anchors = anchors.reshape(0, 3 if dynamic else 2)
+    n_anch = len(anchors)
+    # matrix coordinates are +1 the sequence ones; append the (lx, ly)
+    # terminal pseudo-anchor closing the last segment
+    ax = np.concatenate([anchors[:, 0] + 1, [lx]])
+    ay = np.concatenate([anchors[:, 1] + 1, [ly]])
+    if dynamic:
+        exps = anchors[:, 2] if n_anch else np.empty(0, np.int64)
+        assert np.all(exps >= 0) and np.all(exps % 2 == 0)
+        # past the last anchor the expansion stays at its last value
+        exps = np.concatenate([exps, [exps[-1] if n_anch else 0]])
+    else:
+        exps = np.full(n_anch + 1, expansion, dtype=np.int64)
+    if n_anch:
+        assert np.all(ax[:-1] > 0) and np.all(ax[:-1] <= lx)
+        assert np.all(ay[:-1] > 0) and np.all(ay[:-1] <= ly)
+
+    # Per-segment anchor rectangles (reference :226-229): segment i spans
+    # diagonals (nxay_{i-1}, nxay_i] between consecutive anchors (0,0)
+    # prepended. Expansion is even and (xay+xmy) parity holds, so the
+    # divisions are exact.
+    nxay = ax + ay
+    nxmy = ax - ay
+    pxay = np.concatenate([[0], nxay[:-1]])
+    pxmy = np.concatenate([[0], nxmy[:-1]])
+    bnd = lambda z, l: np.clip(z, 0, l)
+    xLs = bnd((pxay + pxmy - exps) // 2, lx)
+    yLs = bnd((nxay - nxmy + exps) // 2, ly)
+    xUs = bnd((nxay + nxmy + exps) // 2, lx)
+    yUs = bnd((pxay - pxmy - exps) // 2, ly)
+
+    # map each diagonal to its segment: k = 0 uses the degenerate (0,0,0,0)
+    # start rectangle, k in (nxay_{i-1}, nxay_i] uses segment i
+    bs = np.concatenate([[0], nxay])
+    rect_xL = np.concatenate([[0], xLs])
+    rect_yL = np.concatenate([[0], yLs])
+    rect_xU = np.concatenate([[0], xUs])
+    rect_yU = np.concatenate([[0], yUs])
+    ks = np.arange(n_diag + 1, dtype=np.int64)
+    seg = np.searchsorted(bs, ks, side="left")
+
+    xmyL, xmyR = _set_diagonals(
+        ks, rect_xL[seg], rect_yL[seg], rect_xU[seg], rect_yU[seg])
+    offsets = xmyL
+    widths = (xmyR - xmyL) // 2 + 1
 
     return BandTensors(
         offsets=offsets.astype(np.int32), widths=widths.astype(np.int32), lx=lx, ly=ly
