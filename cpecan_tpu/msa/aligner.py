@@ -348,26 +348,36 @@ def _get_alignment_score(aligned_pairs, l1: int, l2: int) -> int:
     return int(d * PAIR_ALIGNMENT_PROB_1)
 
 
-def _add_multiple_aligned_pairs(sm, seq1, seq2, seq_frags, pair_lists, p):
-    """Pairwise align two frags, reweight, convert to 5-tuples; returns
-    similarity score (reference addMultipleAlignedPairs :653-666)."""
-    from cpecan_tpu.align import pairwise
+def _add_multiple_aligned_pairs_batch(sm, id_pairs, seq_frags, pair_lists, p):
+    """Pairwise align many frag pairs in one cross-pair device batch,
+    reweight, convert to 5-tuples; returns the similarity scores
+    (semantics of addMultipleAlignedPairs, reference :653-666, batched —
+    the reference aligns the chosen pairs one at a time)."""
+    from cpecan_tpu.align import batch as batch_align
+    from cpecan_tpu.align.anchors import get_anchors
 
-    f1, f2 = seq_frags[seq1], seq_frags[seq2]
-    aligned = pairwise.get_aligned_pairs(
-        sm, f1.seq, f2.seq, p,
-        ragged_left=f1.left_end_id != f2.left_end_id,
-        ragged_right=f1.right_end_id != f2.right_end_id)
-    aligned = pairs_mod.reweight_aligned_pairs(aligned, f1.length, f2.length, p.gapGamma)
-    score = _get_alignment_score(aligned, f1.length, f2.length)
-    m = np.empty(len(aligned), dtype=MULTIPLE_PAIR_DTYPE)
-    m["prob"] = aligned["prob"]
-    m["seq1"] = seq1
-    m["pos1"] = aligned["x"]
-    m["seq2"] = seq2
-    m["pos2"] = aligned["y"]
-    pair_lists.append(m)
-    return score
+    id_pairs = list(id_pairs)
+    jobs = []
+    for s1, s2 in id_pairs:
+        f1, f2 = seq_frags[s1], seq_frags[s2]
+        jobs.append((f1.seq, f2.seq, get_anchors(f1.seq, f2.seq, p),
+                     f1.left_end_id != f2.left_end_id,
+                     f1.right_end_id != f2.right_end_id))
+    results = batch_align.get_aligned_pairs_batch(sm, jobs, p)
+    scores = []
+    for (s1, s2), aligned in zip(id_pairs, results):
+        f1, f2 = seq_frags[s1], seq_frags[s2]
+        aligned = pairs_mod.reweight_aligned_pairs(
+            aligned, f1.length, f2.length, p.gapGamma)
+        scores.append(_get_alignment_score(aligned, f1.length, f2.length))
+        m = np.empty(len(aligned), dtype=MULTIPLE_PAIR_DTYPE)
+        m["prob"] = aligned["prob"]
+        m["seq1"] = s1
+        m["pos1"] = aligned["x"]
+        m["seq2"] = s2
+        m["pos2"] = aligned["y"]
+        pair_lists.append(m)
+    return scores
 
 
 def get_reference_pairwise_alignments(seq_frags) -> list:
@@ -487,13 +497,11 @@ def make_alignment_using_all_pairs(sm: StateMachine, seq_frags,
                                    p: PairwiseAlignmentParameters) -> MultipleAlignment:
     """All-vs-all MSA (reference :683-699)."""
     pair_lists: list = []
-    scores = []
     n = len(seq_frags)
-    for s1 in range(n):
-        for s2 in range(s1 + 1, n):
-            scores.append((
-                _add_multiple_aligned_pairs(sm, s1, s2, seq_frags, pair_lists, p),
-                s1, s2))
+    id_pairs = [(s1, s2) for s1 in range(n) for s2 in range(s1 + 1, n)]
+    got = _add_multiple_aligned_pairs_batch(sm, id_pairs, seq_frags,
+                                            pair_lists, p)
+    scores = [(sc, s1, s2) for sc, (s1, s2) in zip(got, id_pairs)]
     mpairs = (np.concatenate(pair_lists) if pair_lists
               else np.empty(0, dtype=MULTIPLE_PAIR_DTYPE))
     if n == 2 or use_progressive_merging:
@@ -520,11 +528,10 @@ def make_alignment(sm: StateMachine, seq_frags, spanning_trees: int,
     rng = random.Random(seed)
     pair_lists: list = []
     chosen_set = set(get_reference_pairwise_alignments(seq_frags))
-    chosen_scored = []
-    for s1, s2 in sorted(chosen_set):
-        chosen_scored.append((
-            _add_multiple_aligned_pairs(sm, s1, s2, seq_frags, pair_lists, p),
-            s1, s2))
+    seed_pairs = sorted(chosen_set)
+    got = _add_multiple_aligned_pairs_batch(sm, seed_pairs, seq_frags,
+                                            pair_lists, p)
+    chosen_scored = [(sc, s1, s2) for sc, (s1, s2) in zip(got, seed_pairs)]
 
     iteration = 0
     while True:
@@ -542,12 +549,16 @@ def make_alignment(sm: StateMachine, seq_frags, spanning_trees: int,
                 aligned_pairs=filter_multiple_aligned_pairs(store, mpairs),
                 chosen_pairwise_alignments=chosen_scored)
         subs, idents = get_distance_matrix(store, seq_frags, max_pairs_to_consider)
+        # pair selection stays sequential (each choice updates chosen_set,
+        # reference :925-937); the alignments run as one device batch
+        new_pairs = []
         for seq in range(n):
             other = get_next_best_pair(seq, subs, idents, chosen_set, rng)
             if other is not None:
                 pair = (min(seq, other), max(seq, other))
-                chosen_scored.append((
-                    _add_multiple_aligned_pairs(sm, pair[0], pair[1],
-                                                seq_frags, pair_lists, p),
-                    pair[0], pair[1]))
+                new_pairs.append(pair)
                 chosen_set.add(pair)
+        got = _add_multiple_aligned_pairs_batch(sm, new_pairs, seq_frags,
+                                                pair_lists, p)
+        chosen_scored.extend(
+            (sc, s1, s2) for sc, (s1, s2) in zip(got, new_pairs))

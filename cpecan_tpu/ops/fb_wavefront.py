@@ -60,9 +60,7 @@ from cpecan_tpu.ops import fb as _fb
 # Default tile sizes: G pairs on sublanes, CH diagonals per grid step.
 GROUP = 8
 CHUNK = 64
-# the expectation kernel streams ~2x the inputs; smaller chunks keep its
-# double-buffered working set inside VMEM (EXP_CHUNK must divide CHUNK)
-EXP_CHUNK = 32
+# (the expectation kernel streams ~2x the inputs and uses chunk // 2)
 
 # pm bitfield (int8 per (row, slot))
 _PM_MATCH = 1  # posterior-match valid: 1<=k<=L & slot & x>0 & y>0
@@ -592,10 +590,11 @@ def _group(arr, NG, G):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nz", "S", "mode", "width", "rows", "interpret"))
+    static_argnames=("nz", "S", "mode", "width", "rows", "interpret",
+                     "chunk"))
 def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
                       ragged_left, ragged_right, nz, S, mode, width, rows,
-                      interpret):
+                      interpret, chunk):
     B = sx.shape[0]
     W = width
     G = GROUP
@@ -613,7 +612,8 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         ragged_left, ragged_right = rep(ragged_left), rep(ragged_right)
     NB = sx.shape[0]
     NG = NB // G
-    NC = rows // CHUNK
+    CHUNK_ = chunk
+    NC = rows // CHUNK_
 
     pre = jax.vmap(
         lambda *args: _precompute_one(params, *args, width=W, rows=rows)
@@ -629,7 +629,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
     kp = dict(interpret=interpret)
     vmem = pltpu.VMEM
     row_spec = lambda last: pl.BlockSpec(
-        (1, CHUNK, G) + last, lambda g, c: (g, c, 0) + (0,) * len(last),
+        (1, CHUNK_, G) + last, lambda g, c: (g, c, 0) + (0,) * len(last),
         memory_space=vmem)
 
     fwd_grid = pltpu.PrefetchScalarGridSpec(
@@ -643,7 +643,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
                          memory_space=vmem),  # F0
         ],
         out_specs=[
-            pl.BlockSpec((1, CHUNK, S, G, W), lambda g, c: (g, c, 0, 0, 0),
+            pl.BlockSpec((1, CHUNK_, S, G, W), lambda g, c: (g, c, 0, 0, 0),
                          memory_space=vmem),  # F
             row_spec((W,)),  # bridgevec
             row_spec((1,)),  # mf
@@ -655,7 +655,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         ],
     )
     F_all, bridgevec, mf = pl.pallas_call(
-        functools.partial(_fwd_kernel, S=S, nz=nz, chunk=CHUNK),
+        functools.partial(_fwd_kernel, S=S, nz=nz, chunk=CHUNK_),
         grid_spec=fwd_grid,
         out_shape=[
             jax.ShapeDtypeStruct((NG, rows, S, G, W), jnp.float32),
@@ -691,7 +691,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         pre["end_row"].reshape(NG, G, S, W), (0, 2, 1, 3))
 
     if mode == "expectation":
-        CH = EXP_CHUNK
+        CH = max(8, CHUNK_ // 2)
         NC2 = rows // CH
         wx, wy = g_row("wx"), g_row("wy")
         ks = jnp.arange(rows)
@@ -772,7 +772,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         return out
 
     rrow_spec = lambda last: pl.BlockSpec(
-        (1, CHUNK, G) + last,
+        (1, CHUNK_, G) + last,
         lambda g, c: (g, NC - 1 - c, 0) + (0,) * len(last),
         memory_space=vmem)
 
@@ -784,7 +784,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
             rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # ef*
             rrow_spec((W,)),  # em (own-cell match emissions)
-            pl.BlockSpec((1, CHUNK, S, G, W),
+            pl.BlockSpec((1, CHUNK_, S, G, W),
                          lambda g, c: (g, NC - 1 - c, 0, 0, 0),
                          memory_space=vmem),  # F
             rrow_spec((W,)),  # bridgevec
@@ -809,7 +809,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         scr = refs[14 + n_out:]
         if n_out == 1:
             outs = (outs[0], None, None)
-        _bwd_kernel(*ins, *outs, *scr, S=S, nz=nz, chunk=CHUNK, mode=mode)
+        _bwd_kernel(*ins, *outs, *scr, S=S, nz=nz, chunk=CHUNK_, mode=mode)
 
     posts = pl.pallas_call(
         bwd_wrapper,
@@ -852,9 +852,13 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     nz = nonzero_transitions(jax.device_get(params["t"]))
     S = int(params["start"].shape[0])
     P = offsets.shape[1] - 1
-    rows = -(-(P + 1) // CHUNK) * CHUNK
+    # chunk scales inversely with band width so the double-buffered block
+    # working set stays inside VMEM (wide bands come from unanchored pairs)
+    W = int(width)
+    chunk = CHUNK if W <= 128 else max(16, (CHUNK * 128) // W)
+    rows = -(-(P + 1) // chunk) * chunk
     return _fb_wavefront_jit(
         params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),
         jnp.asarray(widths), jnp.asarray(lx), jnp.asarray(ly),
         jnp.asarray(ragged_left), jnp.asarray(ragged_right),
-        nz, S, mode, int(width), rows, bool(interpret))
+        nz, S, mode, W, rows, bool(interpret), chunk)
