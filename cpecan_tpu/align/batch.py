@@ -14,7 +14,9 @@ shifts. This is the read-pairs/sec path the CLIs use.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -39,6 +41,44 @@ class _Task:
     anchors: list
     ragged_left: bool
     ragged_right: bool
+
+
+@jax.jit
+def _count_above(post, thr):
+    return jnp.sum(post >= thr, axis=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compact_above(post, thr, k):
+    """Per-batch-row indices and values of posterior entries >= thr
+    (fixed size k, -1 padded) — sparsifies on device so only the
+    above-threshold entries cross the host link."""
+    def one(pm):
+        flat = pm.reshape(-1)
+        idx = jnp.nonzero(flat >= thr, size=k, fill_value=-1)[0]
+        vals = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+        return idx.astype(jnp.int32), vals
+    return jax.vmap(one)(post)
+
+
+def _sparse_to_pairs(idx_row, val_row, offsets64, W, L, ox, oy):
+    """Host decode of compacted posterior entries into a pair array
+    (addPosteriorProb semantics, matching extract_pairs_from_posteriors)."""
+    sel = idx_row >= 0
+    idx = idx_row[sel]
+    vals = val_row[sel]
+    ks = idx // W
+    js = idx % W
+    keep = ks <= L
+    ks, js, vals = ks[keep], js[keep], vals[keep]
+    xoff = pairs_mod.frame_offsets(offsets64)
+    xs = xoff[ks] + js
+    ys = ks - xs
+    p = np.minimum(vals, 1.0)
+    from cpecan_tpu.utils.logmath import PAIR_ALIGNMENT_PROB_1
+    return pairs_mod.make_pairs(
+        np.floor(p.astype(np.float64) * PAIR_ALIGNMENT_PROB_1).astype(np.int64),
+        xs - 1 + ox, ys - 1 + oy)
 
 
 def _batch_bucket_size(n: int) -> int:
@@ -121,14 +161,26 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
                 jnp.asarray(offsets), jnp.asarray(widths),
                 jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(rl),
                 jnp.asarray(rr), mode=mode, width=W)
-            posts = [np.asarray(out[k]) for k in keys]
+            # sparsify on device: only the >= threshold entries cross the
+            # host link (the dense posteriors can be 100x larger)
+            sparse = []
+            for k in keys:
+                post = out[k]
+                n_above = int(np.max(np.asarray(
+                    _count_above(post, p.threshold))[: len(items)],
+                    initial=0))
+                kk = _batch_bucket_size(max(n_above, 64))
+                idx, vals = _compact_above(post, p.threshold, kk)
+                sparse.append((np.asarray(idx), np.asarray(vals)))
         metrics.add("dp_cells", cells)
 
+        Wp = out[keys[0]].shape[2]
         for i, (t, band) in enumerate(items):
             L = band.diagonal_number
             for oi in range(n_out):
-                results[oi][t.job].append(pairs_mod.extract_pairs_from_posteriors(
-                    posts[oi][i], offs_per[i], L, p.threshold, t.x1, t.y1))
+                idx, vals = sparse[oi]
+                results[oi][t.job].append(_sparse_to_pairs(
+                    idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
 
     merged = [[pairs_mod.concat_pairs(job_lists) for job_lists in res]
               for res in results]

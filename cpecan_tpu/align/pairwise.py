@@ -96,18 +96,15 @@ def get_aligned_pairs_using_anchors(sm: StateMachine, seq_x: str, seq_y: str,
                                     anchor_pairs, p: PairwiseAlignmentParameters,
                                     ragged_left: bool = False,
                                     ragged_right: bool = False) -> np.ndarray:
-    """Posterior match pairs (prob, x, y) above p.threshold."""
-    out_pairs = []
-    for (x1, y1, x2, y2), local, rl, rr in _iterate_chunks(
-            seq_x, seq_y, anchor_pairs, p, ragged_left, ragged_right):
-        if x2 - x1 == 0 and y2 - y1 == 0:
-            continue
-        out, band, offsets = _run_chunk(
-            sm, seq_x[x1:x2], seq_y[y1:y2], local, p, rl, rr, "posterior_match")
-        out_pairs.append(pairs_mod.extract_pairs_from_posteriors(
-            out["post_match"], offsets.astype(np.int64),
-            band.diagonal_number, p.threshold, x1, y1))
-    return pairs_mod.concat_pairs(out_pairs)
+    """Posterior match pairs (prob, x, y) above p.threshold.
+
+    Delegates to the batched chunk runner (align/batch.py): even a single
+    pair's large-gap chunks execute as one shape-bucketed device batch."""
+    from cpecan_tpu.align import batch as batch_mod
+
+    return batch_mod.batch_posteriors(
+        sm, [(seq_x, seq_y, anchor_pairs, ragged_left, ragged_right)], p,
+        mode="posterior_match")[0]
 
 
 def get_aligned_pairs_with_indels_using_anchors(
@@ -115,23 +112,11 @@ def get_aligned_pairs_with_indels_using_anchors(
         p: PairwiseAlignmentParameters,
         ragged_left: bool = False, ragged_right: bool = False):
     """(match_pairs, gap_x_pairs, gap_y_pairs)."""
-    match_l, gx_l, gy_l = [], [], []
-    for (x1, y1, x2, y2), local, rl, rr in _iterate_chunks(
-            seq_x, seq_y, anchor_pairs, p, ragged_left, ragged_right):
-        if x2 - x1 == 0 and y2 - y1 == 0:
-            continue
-        out, band, offsets = _run_chunk(
-            sm, seq_x[x1:x2], seq_y[y1:y2], local, p, rl, rr, "posterior_all")
-        off64 = offsets.astype(np.int64)
-        L = band.diagonal_number
-        match_l.append(pairs_mod.extract_pairs_from_posteriors(
-            out["post_match"], off64, L, p.threshold, x1, y1))
-        gx_l.append(pairs_mod.extract_pairs_from_posteriors(
-            out["post_gap_x"], off64, L, p.threshold, x1, y1))
-        gy_l.append(pairs_mod.extract_pairs_from_posteriors(
-            out["post_gap_y"], off64, L, p.threshold, x1, y1))
-    return (pairs_mod.concat_pairs(match_l), pairs_mod.concat_pairs(gx_l),
-            pairs_mod.concat_pairs(gy_l))
+    from cpecan_tpu.align import batch as batch_mod
+
+    return batch_mod.batch_posteriors(
+        sm, [(seq_x, seq_y, anchor_pairs, ragged_left, ragged_right)], p,
+        mode="posterior_all")[0]
 
 
 def get_expectations_using_anchors(sm: StateMachine, hmm: Hmm, seq_x: str,

@@ -170,7 +170,12 @@ def expectation_step(sm: StateMachine, tasks: list,
 
     for (P, W), items in buckets.items():
         B = len(items)
-        B_pad = ((B + n_dev - 1) // n_dev) * n_dev
+        # pad to a power of two (bounds compiled-shape count), then to a
+        # device-divisible size for the sharded batch axis
+        B_pad = 1
+        while B_pad < B:
+            B_pad *= 2
+        B_pad = ((B_pad + n_dev - 1) // n_dev) * n_dev
         sx = np.zeros((B_pad, P), np.int32)
         sy = np.zeros((B_pad, P), np.int32)
         offsets = np.zeros((B_pad, P + 1), np.int32)

@@ -591,13 +591,13 @@ def _group(arr, NG, G):
 @functools.partial(
     jax.jit,
     static_argnames=("nz", "S", "mode", "width", "rows", "interpret",
-                     "chunk"))
+                     "chunk", "group"))
 def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
                       ragged_left, ragged_right, nz, S, mode, width, rows,
-                      interpret, chunk):
+                      interpret, chunk, group):
     B = sx.shape[0]
     W = width
-    G = GROUP
+    G = group
     if B % G != 0:
         padn = (-B) % G
         rep = lambda arr: jnp.concatenate(
@@ -857,8 +857,17 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     W = int(width)
     chunk = CHUNK if W <= 128 else max(16, (CHUNK * 128) // W)
     rows = -(-(P + 1) // chunk) * chunk
+    # shrink the pair group when the F_all intermediate would blow HBM
+    # (long unanchored pairs: huge rows x wide bands); fewer sublanes per
+    # op but proportionally less padding for small batches
+    B = int(sx.shape[0])
+    group = GROUP
+    budget = 3 << 30  # bytes for F_all
+    per_pair = rows * S * W * 4
+    while group > 1 and -(-B // group) * group * per_pair > budget:
+        group //= 2
     return _fb_wavefront_jit(
         params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),
         jnp.asarray(widths), jnp.asarray(lx), jnp.asarray(ly),
         jnp.asarray(ragged_left), jnp.asarray(ragged_right),
-        nz, S, mode, W, rows, bool(interpret), chunk)
+        nz, S, mode, W, rows, bool(interpret), chunk, group)
