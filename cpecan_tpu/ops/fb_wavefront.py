@@ -21,6 +21,15 @@ reductions. Here the whole wavefront runs inside two Pallas kernels:
    diagonalCalculationTotalProbability, reference :636-653) on the fly
    and writes only the posterior rows — no B tensor ever exists in HBM.
 
+ * **Backward+expectation kernel** (_exp_kernel): the same backward
+   recursion plus Baum-Welch expected-count accumulation in VMEM lane
+   accumulators, reduced to (S, S) / (S, 4, 4) outputs per pair group —
+   the EM E-step without materializing posteriors.
+
+Tile parameters adapt to the workload: the diagonal chunk scales down
+for wide bands (VMEM budget) and the pair group shrinks when the F
+intermediate would exceed an HBM budget (long pairs).
+
 Design notes (why it looks like this):
  - G pairs ride the sublane dimension and the W band slots the lane
    dimension, so every vector op is a full (8, 128) native tile.
