@@ -842,6 +842,49 @@ def supported(mode: str) -> bool:
                     "expectation")
 
 
+# Measured per-cell throughput of the diagonal body relative to G=8 on a
+# v5e chip (the body's fixed per-step cost — loop control, SMEM scalar
+# reads, shift setup — amortizes over more sublane tiles as G grows;
+# vector-issue cost scales linearly so gains flatten out).
+_GROUP_SPEED = {8: 1.00, 16: 1.26, 32: 1.47, 64: 1.55, 128: 1.60}
+# VMEM envelope for one double-buffered stream block, in (G * chunk * W)
+# cells: measured compile ceiling on v5e (fails at 2x this).
+_ENVELOPE = 131072
+
+
+def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
+    """Choose (pair group G, diagonal chunk) for the kernel grid.
+
+    G rides the sublane dimension: bigger groups amortize the sequential
+    per-diagonal overhead (see _GROUP_SPEED) but pad the batch up to a
+    multiple of G and grow every VMEM block. The score maximizes measured
+    speed x useful fraction of the padded batch, subject to the VMEM
+    envelope; the expectation kernel's per-group accumulators (len(nz) +
+    16*S lane accumulators) cap its group at 64.
+    """
+    cap = 64 if mode == "expectation" else 128
+    best, best_score = 8, 0.0
+    g = 8
+    while g <= cap and g * 8 * W <= _ENVELOPE:
+        padded = -(-B // g) * g
+        score = _GROUP_SPEED[g] * B / padded
+        if score > best_score:
+            best, best_score = g, score
+        g *= 2
+    group = best
+    # shrink the pair group when the F_all HBM intermediate would blow up
+    # (long unanchored pairs: huge rows x wide bands) — padding the batch
+    # to a multiple of G materializes rows*S*W floats per padded pair
+    budget = 3 << 30  # bytes for F_all
+    per_pair = (P + 1 + 64) * S * W * 4
+    while group > 1 and -(-B // group) * group * per_pair > budget:
+        group //= 2
+    # multiple of 8 so the expectation kernel's half-chunk and its 2-row
+    # halo block indexing stay aligned
+    chunk = max(8, min(CHUNK, (_ENVELOPE // (group * W)) // 8 * 8))
+    return group, chunk
+
+
 def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                             ragged_left, ragged_right,
                             mode: str = "posterior_match", width: int = 0,
@@ -861,20 +904,10 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     nz = nonzero_transitions(jax.device_get(params["t"]))
     S = int(params["start"].shape[0])
     P = offsets.shape[1] - 1
-    # chunk scales inversely with band width so the double-buffered block
-    # working set stays inside VMEM (wide bands come from unanchored pairs)
     W = int(width)
-    chunk = CHUNK if W <= 128 else max(16, (CHUNK * 128) // W)
-    rows = -(-(P + 1) // chunk) * chunk
-    # shrink the pair group when the F_all intermediate would blow HBM
-    # (long unanchored pairs: huge rows x wide bands); fewer sublanes per
-    # op but proportionally less padding for small batches
     B = int(sx.shape[0])
-    group = GROUP
-    budget = 3 << 30  # bytes for F_all
-    per_pair = rows * S * W * 4
-    while group > 1 and -(-B // group) * group * per_pair > budget:
-        group //= 2
+    group, chunk = pick_tiles(B, W, P, S, mode)
+    rows = -(-(P + 1) // chunk) * chunk
     return _fb_wavefront_jit(
         params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),
         jnp.asarray(widths), jnp.asarray(lx), jnp.asarray(ly),
