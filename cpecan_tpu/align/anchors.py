@@ -22,9 +22,12 @@ reference (getBlastPairs :1016-1019).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.io.cigar import alignment_to_anchor_pairs, cigar_read
 
 DEFAULT_KMER = 12
 MAX_KMER_OCCURRENCES = 32
@@ -259,13 +262,50 @@ def get_chained_runs(seq_x: str, seq_y: str, repeat_mask: bool,
     return chain_runs(runs)
 
 
+LASTZ_ENV = "CPECAN_TPU_LASTZ"
+
+
+def _lastz_blast_pairs(exe: str, seq_x: str, seq_y: str, trim: int,
+                       expansion: int, repeat_mask: bool) -> list:
+    """Exact-anchor parity mode: pipe the sequences through a real lastz
+    binary with the reference's flags (impl/pairwiseAligner.c:1032-1041)
+    and convert its chained cigars to anchor triples (:979-1003,
+    :1048-1056). Enabled by pointing $CPECAN_TPU_LASTZ at the binary."""
+    import io as _io
+    import subprocess
+    import tempfile
+
+    if not repeat_mask:
+        seq_x, seq_y = seq_x.upper(), seq_y.upper()
+    with tempfile.TemporaryDirectory(prefix="cpecan_lastz") as d:
+        fx, fy = os.path.join(d, "x.fa"), os.path.join(d, "y.fa")
+        for path, name, seq in ((fx, "a", seq_x), (fy, "b", seq_y)):
+            with open(path, "w") as fh:
+                fh.write(f">{name}\n{seq}\n")
+        out = subprocess.run(
+            [exe, "--hspthresh=800", "--chain", "--strand=plus", "--gapped",
+             "--format=cigar", "--ambiguous=iupac,100,100", fx, fy],
+            check=True, capture_output=True, text=True)
+    pairs = []
+    for pa in cigar_read(_io.StringIO(out.stdout)):
+        pairs.extend(alignment_to_anchor_pairs(pa, trim, expansion))
+    return pairs
+
+
 def get_blast_pairs(seq_x: str, seq_y: str, trim: int, expansion: int,
                     repeat_mask: bool, k: int = DEFAULT_KMER) -> list:
     """Seed-and-chain anchor pairs for one rectangle, sorted by x+y
     (the getBlastPairs contract, reference :1005-1080). When repeat_mask is
-    False the sequences are treated as unmasked (uppercased)."""
-    chained = get_chained_runs(seq_x, seq_y, repeat_mask, k=k)
-    pairs = runs_to_anchor_pairs(chained, trim, expansion)
+    False the sequences are treated as unmasked (uppercased). If
+    $CPECAN_TPU_LASTZ names a lastz binary, anchors come from it instead of
+    the built-in seeder (exact anchor parity with the reference)."""
+    exe = os.environ.get(LASTZ_ENV)
+    if exe:
+        pairs = _lastz_blast_pairs(exe, seq_x, seq_y, trim, expansion,
+                                   repeat_mask)
+    else:
+        chained = get_chained_runs(seq_x, seq_y, repeat_mask, k=k)
+        pairs = runs_to_anchor_pairs(chained, trim, expansion)
     pairs.sort(key=lambda p: p[0] + p[1])
     return pairs
 

@@ -39,14 +39,40 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--diagonalExpansion", type=int, default=10)
     ap.add_argument("--splitMatrixBiggerThanThis", type=int, default=3000,
                     help="squared internally, like the realign flag")
+    ap.add_argument("--optionsToRealign", default=None,
+                    help="quoted realign flags applied to the expectation "
+                         "passes (cPecanEm.py:371), e.g. "
+                         "'--diagonalExpansion=10 "
+                         "--splitMatrixBiggerThanThis=3000'; recognised "
+                         "keys: diagonalExpansion, splitMatrixBiggerThanThis,"
+                         " constraintDiagonalTrim")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataParallel", action="store_true",
                     help="shard expectation batches over all local devices")
     return ap
 
 
+def parse_options_to_realign(args) -> None:
+    """Fold a quoted --optionsToRealign string into the band-shaping args
+    (the reference shells these straight to cPecanRealign)."""
+    if not args.optionsToRealign:
+        return
+    for tok in args.optionsToRealign.split():
+        key, _, value = tok.lstrip("-").partition("=")
+        if key == "diagonalExpansion":
+            args.diagonalExpansion = int(value)
+        elif key == "splitMatrixBiggerThanThis":
+            args.splitMatrixBiggerThanThis = int(value)
+        elif key == "constraintDiagonalTrim":
+            args.constraintDiagonalTrim = int(value)
+        else:
+            raise SystemExit(f"unsupported --optionsToRealign flag: {tok}")
+
+
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    args.constraintDiagonalTrim = 0
+    parse_options_to_realign(args)
     options = em_mod.EmOptions(
         modelType=args.modelType,
         inputModel=args.inputModel,
@@ -65,6 +91,7 @@ def main(argv=None) -> int:
         blastScoringMatrixFile=args.blastScoringMatrixFile,
         diagonalExpansion=args.diagonalExpansion,
         splitMatrixBiggerThanThis=args.splitMatrixBiggerThanThis ** 2,
+        constraintDiagonalTrim=args.constraintDiagonalTrim,
         seed=args.seed,
     )
     sequences = read_sequences(args.sequences.split())

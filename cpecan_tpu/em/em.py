@@ -67,6 +67,7 @@ class EmOptions:
     # --splitMatrixBiggerThanThis=3000, cPecanEm.py:371)
     diagonalExpansion: int = 10
     splitMatrixBiggerThanThis: int = 3000 * 3000
+    constraintDiagonalTrim: int = 0
     seed: int = 0
 
     def model_type(self) -> StateMachineType:
@@ -74,7 +75,7 @@ class EmOptions:
 
     def pairwise_params(self) -> PairwiseAlignmentParameters:
         return PairwiseAlignmentParameters(
-            constraintDiagonalTrim=0,
+            constraintDiagonalTrim=self.constraintDiagonalTrim,
             diagonalExpansion=self.diagonalExpansion,
             splitMatrixBiggerThanThis=self.splitMatrixBiggerThanThis)
 

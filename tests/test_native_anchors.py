@@ -67,3 +67,20 @@ def test_runs_to_anchor_pairs_vectorized():
     expect = [(11, 21, 4), (12, 22, 4), (13, 23, 4), (101, 201, 4)]
     assert got == expect
     assert anchors.runs_to_anchor_pairs(runs, 3, 4) == []
+
+
+def test_lastz_subprocess_parity_mode(tmp_path, monkeypatch):
+    """$CPECAN_TPU_LASTZ routes anchoring through an external lastz binary
+    (stubbed here) whose cigars are converted exactly like the reference's
+    convertPairwiseForwardStrandAlignmentToAnchorPairs."""
+    stub = tmp_path / "lastz"
+    stub.write_text(
+        "#!/bin/sh\n"
+        "echo 'cigar: a 2 12 + b 3 11 + 57 M 4 D 2 M 4'\n")
+    stub.chmod(0o755)
+    monkeypatch.setenv(anchors.LASTZ_ENV, str(stub))
+    got = anchors.get_blast_pairs("ACGT" * 10, "ACGT" * 10, trim=1,
+                                  expansion=6, repeat_mask=True)
+    # M 4 at (2,3) trimmed by 1 -> (3,4),(4,5); D 2 advances x only;
+    # M 4 at (8,7) -> (9,8),(10,9); sorted by x+y
+    assert got == [(3, 4, 6), (4, 5, 6), (9, 8, 6), (10, 9, 6)]
