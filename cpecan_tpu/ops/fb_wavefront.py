@@ -863,9 +863,10 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     16*S lane accumulators) cap its group at 64.
     """
     cap = 64 if mode == "expectation" else 128
+    We = max(W, 128)  # VMEM blocks pad the lane (W) dimension to 128
     best, best_score = 8, 0.0
     g = 8
-    while g <= cap and g * 8 * W <= _ENVELOPE:
+    while g <= cap and g * 8 * We <= _ENVELOPE:
         padded = -(-B // g) * g
         score = _GROUP_SPEED[g] * B / padded
         if score > best_score:
@@ -881,7 +882,7 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
         group //= 2
     # multiple of 8 so the expectation kernel's half-chunk and its 2-row
     # halo block indexing stay aligned
-    chunk = max(8, min(CHUNK, (_ENVELOPE // (group * W)) // 8 * 8))
+    chunk = max(8, min(CHUNK, (_ENVELOPE // (group * We)) // 8 * 8))
     return group, chunk
 
 
