@@ -130,57 +130,67 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
         buckets.setdefault((P, W), []).append((t, band))
 
     params = sm.device_params()
-    for (P, W), items in sorted(buckets.items()):
-        B = _batch_bucket_size(len(items))
-        sx = np.zeros((B, P), np.int32)
-        sy = np.zeros((B, P), np.int32)
-        offsets = np.zeros((B, P + 1), np.int32)
-        offsets[:, 1::2] = 1  # parity-consistent pad rows
-        widths = np.ones((B, P + 1), np.int32)
-        lx = np.zeros(B, np.int32)
-        ly = np.zeros(B, np.int32)
-        rl = np.zeros(B, bool)
-        rr = np.zeros(B, bool)
-        offs_per = []
-        for i, (t, band) in enumerate(items):
-            o, w, L = pad_band(band, P)
-            offsets[i] = o
-            widths[i] = w
-            offs_per.append(o.astype(np.int64))
-            sx[i, : len(t.sub_x)] = encode(t.sub_x)
-            sy[i, : len(t.sub_y)] = encode(t.sub_y)
-            lx[i] = len(t.sub_x)
-            ly[i] = len(t.sub_y)
-            rl[i] = t.ragged_left
-            rr[i] = t.ragged_right
 
-        cells = int(widths[: len(items)].sum())
-        with metrics.stage("fb_pass"):
+    # Three phases so bucket i's host syncs overlap bucket j's device
+    # compute (the device queue is async; each forced value is a host
+    # round-trip that would otherwise serialize per bucket).
+    pending = []  # (items, offs_per, out, counts) per bucket
+    with metrics.stage("fb_pass"):
+        for (P, W), items in sorted(buckets.items()):
+            B = _batch_bucket_size(len(items))
+            sx = np.zeros((B, P), np.int32)
+            sy = np.zeros((B, P), np.int32)
+            offsets = np.zeros((B, P + 1), np.int32)
+            offsets[:, 1::2] = 1  # parity-consistent pad rows
+            widths = np.ones((B, P + 1), np.int32)
+            lx = np.zeros(B, np.int32)
+            ly = np.zeros(B, np.int32)
+            rl = np.zeros(B, bool)
+            rr = np.zeros(B, bool)
+            offs_per = []
+            for i, (t, band) in enumerate(items):
+                o, w, L = pad_band(band, P)
+                offsets[i] = o
+                widths[i] = w
+                offs_per.append(o.astype(np.int64))
+                sx[i, : len(t.sub_x)] = encode(t.sub_x)
+                sy[i, : len(t.sub_y)] = encode(t.sub_y)
+                lx[i] = len(t.sub_x)
+                ly[i] = len(t.sub_y)
+                rl[i] = t.ragged_left
+                rr[i] = t.ragged_right
+
+            metrics.add("dp_cells", int(widths[: len(items)].sum()))
             out = fb_batch.fb_pass_batch(
                 params, jnp.asarray(sx), jnp.asarray(sy),
                 jnp.asarray(offsets), jnp.asarray(widths),
                 jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(rl),
                 jnp.asarray(rr), mode=mode, width=W)
-            # sparsify on device: only the >= threshold entries cross the
-            # host link (the dense posteriors can be 100x larger)
-            sparse = []
-            for k in keys:
-                post = out[k]
-                n_above = int(np.max(np.asarray(
-                    _count_above(post, p.threshold))[: len(items)],
-                    initial=0))
-                kk = _batch_bucket_size(max(n_above, 64))
-                idx, vals = _compact_above(post, p.threshold, kk)
-                sparse.append((np.asarray(idx), np.asarray(vals)))
-        metrics.add("dp_cells", cells)
+            counts = [_count_above(out[k], p.threshold) for k in keys]
+            pending.append((items, offs_per, out, counts))
 
-        Wp = out[keys[0]].shape[2]
-        for i, (t, band) in enumerate(items):
-            L = band.diagonal_number
-            for oi in range(n_out):
-                idx, vals = sparse[oi]
-                results[oi][t.job].append(_sparse_to_pairs(
-                    idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
+        # sparsify on device: only the >= threshold entries cross the
+        # host link (the dense posteriors can be 100x larger)
+        compacted = []
+        for items, offs_per, out, counts in pending:
+            sparse_dev = []
+            for k, cnt in zip(keys, counts):
+                n_above = int(np.max(np.asarray(cnt)[: len(items)],
+                                     initial=0))
+                kk = _batch_bucket_size(max(n_above, 64))
+                sparse_dev.append(_compact_above(out[k], p.threshold, kk))
+            Wp = out[keys[0]].shape[2]
+            compacted.append((items, offs_per, Wp, sparse_dev))
+
+        for items, offs_per, Wp, sparse_dev in compacted:
+            sparse = [(np.asarray(idx), np.asarray(vals))
+                      for idx, vals in sparse_dev]
+            for i, (t, band) in enumerate(items):
+                L = band.diagonal_number
+                for oi in range(n_out):
+                    idx, vals = sparse[oi]
+                    results[oi][t.job].append(_sparse_to_pairs(
+                        idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
 
     merged = [[pairs_mod.concat_pairs(job_lists) for job_lists in res]
               for res in results]

@@ -120,3 +120,19 @@ def test_dispatch_scan_on_cpu():
     params = state_machine5().device_params()
     sx = jnp.zeros((2, 8), jnp.int32)
     assert not fb_batch._use_wavefront(params, sx, "expectation")
+
+
+def test_pick_tiles_envelope():
+    """(group, chunk) stay inside the measured VMEM envelope counting the
+    128-lane padding of narrow bands, and shrink for the expectation
+    kernel's per-group accumulators."""
+    from cpecan_tpu.ops.fb_wavefront import pick_tiles, _ENVELOPE
+    for W in (8, 32, 64, 128, 256, 512):
+        for B in (1, 7, 64, 256, 1000):
+            for mode in ("posterior_match", "expectation", "forward"):
+                g, c = pick_tiles(B, W, 2048, 5, mode)
+                assert g * c * max(W, 128) <= _ENVELOPE, (W, B, mode, g, c)
+                assert c % 8 == 0 and c >= 8
+                assert g >= 1 and (g & (g - 1)) == 0
+                if mode == "expectation":
+                    assert g <= 64
