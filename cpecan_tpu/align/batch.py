@@ -103,13 +103,14 @@ def _expand_jobs(jobs, p):
 
 
 def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
-                     mode: str = "posterior_match"):
+                     mode: str = "posterior_match", mesh=None):
     """Run all jobs' band chunks through shape-bucketed device batches.
 
     jobs: iterable of (seq_x, seq_y, anchor_pairs, ragged_left,
     ragged_right). Returns, per job, the thresholded posterior pair
     array(s): one array in posterior_match mode, a (match, gap_x, gap_y)
-    triple in posterior_all mode.
+    triple in posterior_all mode. With a mesh, each bucket's batch is
+    padded to the device count and sharded over the "data" axis.
     """
     n_out = 3 if mode == "posterior_all" else 1
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
@@ -134,10 +135,12 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     # Three phases so bucket i's host syncs overlap bucket j's device
     # compute (the device queue is async; each forced value is a host
     # round-trip that would otherwise serialize per bucket).
+    n_dev = 1 if mesh is None else mesh.devices.size
     pending = []  # (items, offs_per, out, counts) per bucket
     with metrics.stage("fb_pass"):
         for (P, W), items in sorted(buckets.items()):
             B = _batch_bucket_size(len(items))
+            B = ((B + n_dev - 1) // n_dev) * n_dev
             sx = np.zeros((B, P), np.int32)
             sy = np.zeros((B, P), np.int32)
             offsets = np.zeros((B, P + 1), np.int32)
@@ -161,11 +164,15 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
                 rr[i] = t.ragged_right
 
             metrics.add("dp_cells", int(widths[: len(items)].sum()))
+            arrays = dict(sx=sx, sy=sy, offsets=offsets, widths=widths,
+                          lx=lx, ly=ly, rl=rl, rr=rr)
+            arrays = fb_batch.shard_batch(arrays, mesh)
             out = fb_batch.fb_pass_batch(
-                params, jnp.asarray(sx), jnp.asarray(sy),
-                jnp.asarray(offsets), jnp.asarray(widths),
-                jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(rl),
-                jnp.asarray(rr), mode=mode, width=W)
+                params, jnp.asarray(arrays["sx"]), jnp.asarray(arrays["sy"]),
+                jnp.asarray(arrays["offsets"]), jnp.asarray(arrays["widths"]),
+                jnp.asarray(arrays["lx"]), jnp.asarray(arrays["ly"]),
+                jnp.asarray(arrays["rl"]), jnp.asarray(arrays["rr"]),
+                mode=mode, width=W, mesh=mesh)
             counts = [_count_above(out[k], p.threshold) for k in keys]
             pending.append((items, offs_per, out, counts))
 
@@ -200,13 +207,14 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
 
 
 def get_aligned_pairs_batch(sm: StateMachine, jobs,
-                            p: PairwiseAlignmentParameters):
+                            p: PairwiseAlignmentParameters, mesh=None):
     """Batched get_aligned_pairs_using_anchors over many jobs."""
-    return batch_posteriors(sm, jobs, p, mode="posterior_match")
+    return batch_posteriors(sm, jobs, p, mode="posterior_match", mesh=mesh)
 
 
 def get_aligned_pairs_with_indels_batch(sm: StateMachine, jobs,
-                                        p: PairwiseAlignmentParameters):
+                                        p: PairwiseAlignmentParameters,
+                                        mesh=None):
     """Batched get_aligned_pairs_with_indels_using_anchors: per job a
     (match, gap_x, gap_y) pair-array triple."""
-    return batch_posteriors(sm, jobs, p, mode="posterior_all")
+    return batch_posteriors(sm, jobs, p, mode="posterior_all", mesh=mesh)

@@ -153,7 +153,7 @@ def tasks_from_cigars(cigars, sequences: dict,
 
 def expectation_step(sm: StateMachine, tasks: list,
                      p: PairwiseAlignmentParameters, hmm: Hmm,
-                     mesh=None) -> None:
+                     mesh=None, engine=None) -> None:
     """Accumulate expected counts for all tasks into hmm. Tasks are bucketed
     by padded shape, batched with vmap, and (optionally) sharded over a
     `data` mesh axis — the in-jit batch sum becomes the cross-device
@@ -206,7 +206,8 @@ def expectation_step(sm: StateMachine, tasks: list,
         out = fb_batch.fb_pass_batch(
             params, arrays["sx"], arrays["sy"], arrays["offsets"],
             arrays["widths"], arrays["lx"], arrays["ly"], arrays["rl"],
-            arrays["rr"], mode="expectation", width=W)
+            arrays["rr"], mode="expectation", width=W, mesh=mesh,
+            engine=engine)
 
         hmm.transitions += np.asarray(out["trans"], np.float64)
         hmm.emissions += np.asarray(out["emis"], np.float64)

@@ -889,20 +889,23 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
 def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                             ragged_left, ragged_right,
                             mode: str = "posterior_match", width: int = 0,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None, nz=None):
     """Batched banded FB pass via the Pallas wavefront kernels.
 
     Same contract as ops.fb_batch.fb_pass_batch for every mode (in
     expectation mode trans/emis come back batch-summed, with per-pair mb
     and total_raw for the host-side float64 likelihood recombination).
     `interpret=None` auto-selects interpreter mode off-TPU (tests on CPU
-    run the same kernel code path).
+    run the same kernel code path). `nz` (static transition triples) must
+    be supplied when params are tracers — e.g. under shard_map or an
+    outer jit — since the structure can't be read off a traced tensor.
     """
     if not supported(mode):
         raise ValueError(f"wavefront engine does not support mode={mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nz = nonzero_transitions(jax.device_get(params["t"]))
+    if nz is None:
+        nz = nonzero_transitions(jax.device_get(params["t"]))
     S = int(params["start"].shape[0])
     P = offsets.shape[1] - 1
     W = int(width)

@@ -44,6 +44,24 @@ def test_batch_matches_sequential_posterior_match():
         _assert_same_pairs(pairs, ref)
 
 
+def test_batch_sharded_wavefront_matches_sequential(monkeypatch):
+    """Posterior batches sharded over the 8-device mesh, running the
+    Pallas wavefront kernels per shard, must match the sequential API."""
+    from cpecan_tpu.ops import fb_batch
+    from cpecan_tpu.parallel.mesh import data_mesh
+
+    monkeypatch.setenv("CPECAN_TPU_ENGINE", "wavefront")
+    jobs, p = _jobs(n_jobs=4, seed=7)
+    sm = state_machine5()
+    mesh = data_mesh()
+    got = batch_mod.get_aligned_pairs_batch(sm, jobs, p, mesh=mesh)
+    assert fb_batch.LAST_ENGINE == "wavefront_sharded"
+    monkeypatch.delenv("CPECAN_TPU_ENGINE")
+    for (sx, sy, anchors, rl, rr), pairs in zip(jobs, got):
+        ref = get_aligned_pairs_using_anchors(sm, sx, sy, anchors, p, rl, rr)
+        _assert_same_pairs(pairs, ref)
+
+
 def test_batch_matches_sequential_posterior_all():
     jobs, p = _jobs(n_jobs=3, seed=11)
     sm = state_machine5()

@@ -138,6 +138,17 @@ def test_expectation_step_data_parallel_matches_serial():
     np.testing.assert_allclose(parallel.emissions, serial.emissions, rtol=1e-4)
     assert parallel.likelihood == pytest.approx(serial.likelihood, rel=1e-5)
 
+    # the sharded path must also run the Pallas wavefront kernels (the
+    # TPU production configuration; interpreted here) with the same counts
+    from cpecan_tpu.ops import fb_batch
+    wavefront = Hmm(StateMachineType.fiveState)
+    em_mod.expectation_step(sm, tasks, p, wavefront, mesh=mesh,
+                            engine="wavefront")
+    assert fb_batch.LAST_ENGINE == "wavefront_sharded"
+    np.testing.assert_allclose(wavefront.transitions, serial.transitions, rtol=1e-4)
+    np.testing.assert_allclose(wavefront.emissions, serial.emissions, rtol=1e-4)
+    assert wavefront.likelihood == pytest.approx(serial.likelihood, rel=1e-5)
+
 
 def test_em_cli(tmp_path):
     from cpecan_tpu.cli import em as em_cli

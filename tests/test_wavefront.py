@@ -119,7 +119,8 @@ def test_dispatch_scan_on_cpu():
     assert os.environ.get("CPECAN_TPU_ENGINE", "auto") != "wavefront"
     params = state_machine5().device_params()
     sx = jnp.zeros((2, 8), jnp.int32)
-    assert not fb_batch._use_wavefront(params, sx, "expectation")
+    assert fb_batch._select_engine(
+        params, sx, "expectation", None, None) == "scan"
 
 
 def test_pick_tiles_envelope():
