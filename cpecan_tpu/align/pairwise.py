@@ -119,6 +119,25 @@ def get_aligned_pairs_with_indels_using_anchors(
         mode="posterior_all")[0]
 
 
+def get_shifted_mea_alignment(sm: StateMachine, seq_x: str, seq_y: str,
+                              anchor_pairs, p: PairwiseAlignmentParameters,
+                              ragged_left: bool = False,
+                              ragged_right: bool = False):
+    """Posteriors -> MEA decode -> left-shift, returning (pairs, score):
+    the reference convenience decode getShiftedMEAAlignment
+    (impl/pairwiseAligner.c:1767-1790)."""
+    from cpecan_tpu.ops import mea as mea_mod
+
+    match, gap_x, gap_y = get_aligned_pairs_with_indels_using_anchors(
+        sm, seq_x, seq_y, anchor_pairs, p, ragged_left, ragged_right)
+    # MEA wants a topological order of the (x<x', y<y') partial order;
+    # diagonal-major is one (batch chunks may interleave emission order)
+    match = match[np.lexsort((match["x"], match["x"] + match["y"]))]
+    alignment, score = mea_mod.mea_alignment(
+        match, gap_x, gap_y, len(seq_x), len(seq_y), p.gapGamma)
+    return mea_mod.left_shift_alignment(alignment, seq_x, seq_y), score
+
+
 def get_expectations_using_anchors(sm: StateMachine, hmm: Hmm, seq_x: str,
                                    seq_y: str, anchor_pairs,
                                    p: PairwiseAlignmentParameters,

@@ -191,6 +191,11 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rescoreByIdentityIgnoringGaps", action="store_true")
     ap.add_argument("--rescoreByPosteriorProbIgnoringGaps", action="store_true")
     ap.add_argument("--splitIndelsLongerThanThis", type=int, default=-1)
+    ap.add_argument("--mea", action="store_true",
+                    help="decode with maximal-expected-accuracy + left-shift "
+                         "(getShiftedMEAAlignment, reference "
+                         "impl/pairwiseAligner.c:1767-1790) instead of the "
+                         "poset-consistency filter")
     ap.add_argument("--outputPosteriorProbs", default=None)
     ap.add_argument("--outputAllPosteriorProbs", default=None)
     ap.add_argument("--outputExpectations", default=None)
@@ -230,7 +235,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     sequences = read_sequences(args.fastas)
 
     def emit_record(pa, sub_x, sub_y, anchors, aligned,
-                    shift1, flip1, shift2, flip2):
+                    shift1, flip1, shift2, flip2, gaps=None):
         if args.outputAllPosteriorProbs:
             write_posterior_probs(
                 args.outputAllPosteriorProbs, aligned,
@@ -239,6 +244,15 @@ def main(argv=None, stdin=None, stdout=None) -> int:
 
         if args.rescoreOriginalAlignment:
             aligned = score_anchor_pairs(anchors, aligned, p.diagonalExpansion)
+        elif args.mea:
+            from cpecan_tpu.ops import mea as mea_mod
+
+            gap_x, gap_y = gaps
+            aligned = aligned[np.lexsort(
+                (aligned["x"], aligned["x"] + aligned["y"]))]
+            alignment, _score = mea_mod.mea_alignment(
+                aligned, gap_x, gap_y, len(sub_x), len(sub_y), p.gapGamma)
+            aligned = mea_mod.left_shift_alignment(alignment, sub_x, sub_y)
         else:
             aligned = pairs_mod.reweight_aligned_pairs(
                 aligned, len(sub_x), len(sub_y), p.gapGamma)
@@ -307,11 +321,22 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         prepared = [prepare(pa) for pa in group]
 
         if hmm_expectations is not None:
+            # bucketed cross-record batches (em.expectation_step), not
+            # per-record single-pair device calls — this CLI mode is the
+            # reference EM pipeline's worker (cPecanEm.py:178-180), so it
+            # gets the same batched engine as the posterior path below
+            from cpecan_tpu.em.em import expectation_step, _Task
+
+            tasks = []
             for (pa, sub_x, sub_y, anchors, filtered_anchors,
-                 shift1, flip1, shift2, flip2) in prepared:
-                pairwise.get_expectations_using_anchors(
-                    sm, hmm_expectations, sub_x, sub_y, filtered_anchors, p,
-                    ragged_left=True, ragged_right=True)
+                 *_rest) in prepared:
+                for (x1, y1, x2, y2), local, rl, rr in pairwise._iterate_chunks(
+                        sub_x, sub_y, filtered_anchors, p, True, True):
+                    if x2 - x1 == 0 and y2 - y1 == 0:
+                        continue
+                    tasks.append(_Task(sub_x[x1:x2], sub_y[y1:y2],
+                                       local, rl, rr))
+            expectation_step(sm, tasks, p, hmm_expectations)
             continue
 
         # one cross-record device batch per group (reference realigns one
@@ -319,13 +344,20 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         jobs = [(sub_x, sub_y, filtered_anchors, True, True)
                 for (pa, sub_x, sub_y, anchors, filtered_anchors,
                      *_rest) in prepared]
-        all_aligned = batch_align.get_aligned_pairs_batch(sm, jobs, p)
+        if args.mea:
+            triples = batch_align.get_aligned_pairs_with_indels_batch(
+                sm, jobs, p)
+            all_aligned = [t[0] for t in triples]
+            all_gaps = [(t[1], t[2]) for t in triples]
+        else:
+            all_aligned = batch_align.get_aligned_pairs_batch(sm, jobs, p)
+            all_gaps = [None] * len(jobs)
 
-        for rec, aligned in zip(prepared, all_aligned):
+        for rec, aligned, gaps in zip(prepared, all_aligned, all_gaps):
             (pa, sub_x, sub_y, anchors, filtered_anchors,
              shift1, flip1, shift2, flip2) = rec
             emit_record(pa, sub_x, sub_y, anchors, aligned,
-                        shift1, flip1, shift2, flip2)
+                        shift1, flip1, shift2, flip2, gaps=gaps)
 
     if hmm_expectations is not None:
         hmm_expectations.save(args.outputExpectations)

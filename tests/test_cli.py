@@ -62,6 +62,19 @@ class TestRealign:
         assert (r.start2, r.end2, r.strand2) == (0, len(y), True)
         r.check()
 
+    def test_mea_decode(self, seq_pair):
+        """--mea decodes via MEA + left-shift and still covers the input
+        subsequences with a valid cigar."""
+        fasta, x, y = seq_pair
+        pa = identity_cigar("seqX", "seqY", len(x), len(y))
+        out = run_realign(fasta, [pa], "--mea")
+        assert len(out) == 1
+        r = out[0]
+        assert (r.start1, r.end1, r.strand1) == (0, len(x), True)
+        assert (r.start2, r.end2, r.strand2) == (0, len(y), True)
+        r.check()
+        assert any(op == cigar_io.MATCH for op, _n in r.operations)
+
     def test_rescore_original_alignment_preserves_alignment(self, seq_pair):
         """--rescoreOriginalAlignment outputs the same alignment
         (cPecanRealignTest.py:20-31)."""

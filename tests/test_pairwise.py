@@ -243,6 +243,37 @@ class TestMEA:
             assert x < prev[0] and y < prev[1]
             prev = (x, y)
 
+    def test_get_shifted_mea_alignment(self):
+        """Composed posteriors -> MEA -> left-shift decode (reference
+        getShiftedMEAAlignment :1767-1790): totally ordered, maximally
+        shifted, same pair set as composing the stages by hand."""
+        rng = random.Random(29)
+        sm = state_machine5()
+        p = small_params()
+        x = get_random_sequence(40, rng)
+        y = evolve_sequence(x, rng)
+        if not x or not y:
+            x, y = "ACGTACGT", "ACGTCGT"
+        from cpecan_tpu.align.anchors import get_anchors
+        anchors = get_anchors(x, y, p)
+        shifted, score = pairwise.get_shifted_mea_alignment(
+            sm, x, y, anchors, p)
+        assert np.isfinite(score) and score >= 0
+        prev = (len(x), len(y))
+        for q in shifted[::-1]:
+            cx, cy = int(q["x"]), int(q["y"])
+            assert 0 <= cx < prev[0] and 0 <= cy < prev[1]
+            prev = (cx, cy)
+        # parity with composing the stages by hand
+        m, gx, gy = pairwise.get_aligned_pairs_with_indels_using_anchors(
+            sm, x, y, anchors, p)
+        m = m[np.lexsort((m["x"], m["x"] + m["y"]))]
+        alignment, score2 = mea_alignment(m, gx, gy, len(x), len(y), p.gapGamma)
+        by_hand = left_shift_alignment(alignment, x, y)
+        np.testing.assert_array_equal(shifted["x"], by_hand["x"])
+        np.testing.assert_array_equal(shifted["y"], by_hand["y"])
+        assert score == score2
+
     def test_left_shift_maximality(self):
         rng = random.Random(12)
         sm = state_machine5()
