@@ -24,7 +24,7 @@ from cpecan_tpu.config import PairwiseAlignmentParameters
 from cpecan_tpu.models.state_machine import StateMachine
 from cpecan_tpu.align.pairwise import (
     _bucket, _iterate_chunks, _width_bucket)
-from cpecan_tpu.ops import fb_batch
+from cpecan_tpu.ops import fb_batch, fb_streaming
 from cpecan_tpu.ops import pairs as pairs_mod
 from cpecan_tpu.ops.band import construct_band, pad_band
 from cpecan_tpu.utils import metrics
@@ -90,6 +90,39 @@ def _batch_bucket_size(n: int) -> int:
     return b
 
 
+def _stream_entries_to_pairs(entries, xoff, L, ox, oy):
+    """Streaming-engine sparse posterior entries -> pair array with the
+    chunk coordinate shift (same fixed-point semantics as
+    _sparse_to_pairs)."""
+    from cpecan_tpu.utils.logmath import PAIR_ALIGNMENT_PROB_1
+
+    vals, ks, js = entries
+    keep = ks <= L
+    vals, ks, js = vals[keep], ks[keep], js[keep]
+    xs = xoff[ks] + js
+    ys = ks - xs
+    p = np.minimum(vals, 1.0)
+    return pairs_mod.make_pairs(
+        np.floor(p.astype(np.float64) * PAIR_ALIGNMENT_PROB_1).astype(np.int64),
+        xs - 1 + ox, ys - 1 + oy)
+
+
+def _run_streaming_task(params, t, band, p, mode, keys):
+    """One long pair chunk through the checkpointed streaming engine
+    (ops/fb_streaming.py) — fixed memory for arbitrarily long chunks."""
+    W = _width_bucket(band.frame_width())
+    out = fb_streaming.fb_pass_streaming(
+        params, encode(t.sub_x), encode(t.sub_y), band.offsets, band.widths,
+        len(t.sub_x), len(t.sub_y), t.ragged_left, t.ragged_right,
+        mode, W, fb_streaming.window_rows(p), threshold=p.threshold)
+    metrics.add("dp_cells", int(band.widths.sum()))
+    metrics.add("streamed_chunks", 1)
+    L = band.diagonal_number
+    return [_stream_entries_to_pairs(out["post_entries"][k], out["xoff"],
+                                     L, t.x1, t.y1)
+            for k in keys]
+
+
 def _expand_jobs(jobs, p):
     tasks = []
     for ji, (seq_x, seq_y, anchor_pairs, rl0, rr0) in enumerate(jobs):
@@ -117,6 +150,7 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     results = [[[] for _ in jobs] for _ in range(n_out)]
 
     tasks = _expand_jobs(jobs, p)
+    params = sm.device_params()
     buckets: dict = {}
     for t in tasks:
         if p.dynamicAnchorExpansion:
@@ -126,11 +160,16 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
             band = construct_band([(a[0], a[1]) for a in t.anchors],
                                   len(t.sub_x), len(t.sub_y),
                                   p.diagonalExpansion)
-        P = _bucket(band.diagonal_number)
         W = _width_bucket(band.frame_width())
+        if fb_streaming.should_stream(band.diagonal_number, W):
+            # chunk too long for the two-pass engines: checkpointed
+            # streaming in fixed memory (reference traceback windowing)
+            for oi, pairs in enumerate(_run_streaming_task(
+                    params, t, band, p, mode, keys)):
+                results[oi][t.job].append(pairs)
+            continue
+        P = _bucket(band.diagonal_number)
         buckets.setdefault((P, W), []).append((t, band))
-
-    params = sm.device_params()
 
     # Three phases so bucket i's host syncs overlap bucket j's device
     # compute (the device queue is async; each forced value is a host

@@ -158,6 +158,8 @@ def expectation_step(sm: StateMachine, tasks: list,
     by padded shape, batched with vmap, and (optionally) sharded over a
     `data` mesh axis — the in-jit batch sum becomes the cross-device
     expectation reduction."""
+    from cpecan_tpu.ops import fb_streaming
+
     params = sm.device_params()
     buckets: dict = {}
     for t in tasks:
@@ -165,6 +167,23 @@ def expectation_step(sm: StateMachine, tasks: list,
                               len(t.sub_x), len(t.sub_y), p.diagonalExpansion)
         P = _bucket(band.diagonal_number)
         W = _width_bucket(band.frame_width())
+        if fb_streaming.should_stream(band.diagonal_number, W):
+            # chunk too long for the two-pass engines: checkpointed
+            # streaming FB in fixed memory (reference traceback windowing,
+            # impl/pairwiseAligner.c:792-861)
+            out = fb_streaming.fb_pass_streaming(
+                params, encode(t.sub_x), encode(t.sub_y),
+                band.offsets, band.widths, len(t.sub_x), len(t.sub_y),
+                t.ragged_left, t.ragged_right, "expectation", W,
+                fb_streaming.window_rows(p))
+            hmm.transitions += out["trans"]
+            hmm.emissions += out["emis"]
+            L = band.diagonal_number
+            cf = np.cumsum(out["mf"][: L + 1])
+            cb = np.cumsum(out["mb"][: L + 1][::-1])[::-1]
+            hmm.likelihood += float(
+                np.sum(out["total_raw"][1 : L + 1] + cf[1:] + cb[1:]))
+            continue
         buckets.setdefault((P, W), []).append((t, band))
 
     n_dev = 1 if mesh is None else mesh.devices.size

@@ -76,7 +76,7 @@ def _select_shift(arr, amount):
         jnp.where(amount == 1, _shift_left(arr), _shift_right(arr)))
 
 
-def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W):
+def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None):
     """Per-diagonal symbol windows via a feather-weight int8 scan.
 
     Exploits the monotone x-frame: the x-window start advances by
@@ -87,20 +87,24 @@ def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W):
     selects — profiling showed bulk window gathers dominated the whole
     engine (vmapped slice-gather lowers terribly on TPU).
 
+    ks: absolute diagonal indices of the rows (default arange) — lets the
+    streaming engine compute windows for an interior diagonal range.
+
     Returns (wx, wy), each (P+1, W+1) int8:
       wx[k, j]   = sx_pad[xoff[k] - 1 + j + pad]   (x-1 at j, x at j+1)
       wy[k, j]   = sy_pad[LY - k + xoff[k] - 1 + j + pad]  (y at j, y-1 at j+1)
     """
     P = xoff.shape[0] - 1
     pad_off = W + 1
+    if ks is None:
+        ks = jnp.arange(P + 1, dtype=jnp.int32)
     row_x0 = jax.lax.dynamic_slice(sx_pad, (xoff[0] - 1 + pad_off,), (W + 1,))
     row_y0 = jax.lax.dynamic_slice(
-        sy_pad, (LY - 0 + xoff[0] - 1 + pad_off,), (W + 1,))
+        sy_pad, (LY - ks[0] + xoff[0] - 1 + pad_off,), (W + 1,))
 
     # per-diagonal single-element gathers (tiny); the row's last element
     # sits at sequence index xoff[k] + W - 1
     next_x = sx_pad[jnp.clip(xoff + W - 1 + pad_off, 0, sx_pad.shape[0] - 1)]
-    ks = jnp.arange(P + 1, dtype=jnp.int32)
     first_y = sy_pad[jnp.clip(LY - ks + xoff - 1 + pad_off, 0, sy_pad.shape[0] - 1)]
 
     def step(carry, inputs):
@@ -185,27 +189,12 @@ def _emissions(prob, wsymx, wsymy):
     return e_x, e_y, e_m
 
 
-def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
-    """Forward recursion in scaled-prob space.
-
-    e_* are (P+1, W) per-diagonal emission rows (for the cell's own
-    consumed symbols, x-1 / y-1 indexed).
-    Returns (F_all [P+1,S,W] per-diagonal-normalized forward probs,
-    mf [P+1] log scales). True logF_k = log(F_all[k]) + sum(mf[:k+1]).
-    """
+def _fwd_step(prob, width):
+    """Forward scan step over (F_{k-1}, F_{k-2}, 1/m_{k-1}) carries; inputs
+    are (d_k, d_{k-1}, jlo_k, jhi_k, ex_k, ey_k, em_k)."""
     S = prob["start"].shape[0]
-    P = delta.shape[0] - 1
-    W = width
-    # stacked transition matrix: rows are (class, from) pairs
     t_cat = prob["t"].reshape(3 * S, S)  # [x; m; y]
-
-    start_vec = jnp.where(ragged_left, prob["ragged_start"], prob["start"])
-    F0 = jnp.zeros((S, W), jnp.float32).at[:, 0].set(start_vec)
-    m0 = jnp.max(F0)
-    m0 = jnp.where(m0 > 0, m0, 1.0)
-    F0 = F0 / m0
-
-    js = jnp.arange(W, dtype=jnp.int32)
+    js = jnp.arange(width, dtype=jnp.int32)
 
     def step(carry, inputs):
         F1, F2, inv_m1 = carry
@@ -226,32 +215,55 @@ def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
         F_new = cur / m
         return (F_new, F1, 1.0 / m), (F_new, jnp.log(m))
 
-    inputs = (delta[1:], delta[:-1], jlo[1:], jhi[1:],
-              e_x[1:], e_y[1:], e_m[1:])
-    init = (F0, jnp.zeros((S, W), jnp.float32), jnp.float32(1.0))
-    _, (F_rest, mf_rest) = jax.lax.scan(step, init, inputs, unroll=_UNROLL)
+    return step
 
-    F_all = jnp.concatenate([F0[None], F_rest], axis=0)
-    mf = jnp.concatenate([jnp.log(m0)[None], mf_rest])
+
+def initial_forward_carry(prob, ragged_left, width):
+    """(F0, 0, 1) carry for diagonal 0, plus log m0."""
+    S = prob["start"].shape[0]
+    start_vec = jnp.where(ragged_left, prob["ragged_start"], prob["start"])
+    F0 = jnp.zeros((S, width), jnp.float32).at[:, 0].set(start_vec)
+    m0 = jnp.max(F0)
+    m0 = jnp.where(m0 > 0, m0, 1.0)
+    F0 = F0 / m0
+    carry = (F0, jnp.zeros((S, width), jnp.float32), jnp.float32(1.0))
+    return carry, jnp.log(m0)
+
+
+def forward_window(prob, e_x, e_y, e_m, delta, d_km1, jlo, jhi, carry, width):
+    """Forward recursion over an interior row range [k0, k0+K) from an
+    explicit carry (F_{k0-1}, F_{k0-2}, 1/m_{k0-1}). All stream args are
+    (K, ...) per-row; d_km1 is delta shifted by one row.
+    Returns (carry_out, F_win [K,S,W], mf_win [K])."""
+    step = _fwd_step(prob, width)
+    carry_out, (F_win, mf_win) = jax.lax.scan(
+        step, carry, (delta, d_km1, jlo, jhi, e_x, e_y, e_m), unroll=_UNROLL)
+    return carry_out, F_win, mf_win
+
+
+def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
+    """Forward recursion in scaled-prob space.
+
+    e_* are (P+1, W) per-diagonal emission rows (for the cell's own
+    consumed symbols, x-1 / y-1 indexed).
+    Returns (F_all [P+1,S,W] per-diagonal-normalized forward probs,
+    mf [P+1] log scales). True logF_k = log(F_all[k]) + sum(mf[:k+1]).
+    """
+    init, m0log = initial_forward_carry(prob, ragged_left, width)
+    _, F_rest, mf_rest = forward_window(
+        prob, e_x[1:], e_y[1:], e_m[1:], delta[1:], delta[:-1],
+        jlo[1:], jhi[1:], init, width)
+    F_all = jnp.concatenate([init[0][None], F_rest], axis=0)
+    mf = jnp.concatenate([m0log[None], mf_rest])
     return F_all, mf
 
 
-def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
-    """Backward recursion in scaled-prob space.
-
-    ef_* are (P+1, W) future-cell emission rows (x / y indexed: the
-    emissions consumed moving OUT of each cell).
-    Returns (B_all [P+1,S,W], mb [P+1] log scales).
-    True logB_k = log(B_all[k]) + sum(mb[k:L+1]).
-    """
-    S = end_vec.shape[0]
-    P = delta.shape[0] - 1
-    W = width
+def _bwd_step(prob, L, end_vec, width):
+    """Backward scan step over (B_{k+1}, B_{k+2}, 1/mb_{k+1}) carries;
+    inputs are (k, d_{k+1}, d_{k+2}, jlo_k, jhi_k, efx_k, efy_k, efm_k)."""
     # backward stacked transitions: contribution[f,j] = sum_c,t T_c[f,t]*n_c[t,j]
     t_cat_b = jnp.concatenate([prob["t"][0], prob["t"][1], prob["t"][2]], axis=1)  # (S, 3S)
-
-    js = jnp.arange(W, dtype=jnp.int32)
-    delta_pad = jnp.concatenate([delta, jnp.zeros((2,), delta.dtype)])
+    js = jnp.arange(width, dtype=jnp.int32)
 
     def step(carry, inputs):
         B1, B2, inv_mb1 = carry
@@ -279,16 +291,42 @@ def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
         inv_next = jnp.where(at_end, 1.0, 1.0 / m)
         return (B_k, B2_next, inv_next), (B_k, jnp.log(m))
 
-    ks_rev = jnp.arange(P, -1, -1, dtype=jnp.int32)
-    inputs = (ks_rev, delta_pad[1:][ks_rev], delta_pad[2:][ks_rev],
-              jlo[ks_rev], jhi[ks_rev],
-              ef_x[ks_rev], ef_y[ks_rev], ef_m[ks_rev])
+    return step
+
+
+def backward_window(prob, ef_x, ef_y, ef_m, ks, d_k1, d_k2, jlo, jhi,
+                    L, end_vec, carry, width):
+    """Backward recursion over an interior row range, processed high-to-low
+    from an explicit carry (B_{k1}, B_{k1+1}, 1/mb_{k1}). Stream args are
+    (K, ...) in ROW order (low-to-high); ks are the absolute diagonal
+    indices; d_k1/d_k2 are delta at rows k+1 / k+2.
+    Returns (carry_out, B_win [K,S,W] row order, mb_win [K])."""
+    step = _bwd_step(prob, L, end_vec, width)
+    rev = lambda a: jnp.flip(a, axis=0)
+    inputs = tuple(rev(a) for a in (ks, d_k1, d_k2, jlo, jhi, ef_x, ef_y, ef_m))
+    carry_out, (B_rev, mb_rev) = jax.lax.scan(step, carry, inputs,
+                                              unroll=_UNROLL)
+    return carry_out, jnp.flip(B_rev, axis=0), jnp.flip(mb_rev, axis=0)
+
+
+def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
+    """Backward recursion in scaled-prob space.
+
+    ef_* are (P+1, W) future-cell emission rows (x / y indexed: the
+    emissions consumed moving OUT of each cell).
+    Returns (B_all [P+1,S,W], mb [P+1] log scales).
+    True logB_k = log(B_all[k]) + sum(mb[k:L+1]).
+    """
+    S = end_vec.shape[0]
+    P = delta.shape[0] - 1
+    W = width
+    delta_pad = jnp.concatenate([delta, jnp.zeros((2,), delta.dtype)])
+    ks = jnp.arange(P + 1, dtype=jnp.int32)
     init = (jnp.zeros((S, W), jnp.float32), jnp.zeros((S, W), jnp.float32),
             jnp.float32(1.0))
-    _, (B_rev, mb_rev) = jax.lax.scan(step, init, inputs, unroll=_UNROLL)
-
-    B_all = jnp.flip(B_rev, axis=0)
-    mb = jnp.flip(mb_rev, axis=0)
+    _, B_all, mb = backward_window(
+        prob, ef_x, ef_y, ef_m, ks, delta_pad[1:P + 2], delta_pad[2:P + 3],
+        jlo, jhi, L, end_vec, init, W)
     return B_all, mb
 
 
@@ -410,7 +448,7 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
 
 
 def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
-                  wsymx, wsymy, slot_ok, valid_k):
+                  wsymx, wsymy, slot_ok, valid_k, halo=None):
     """Vectorized posterior transition/emission expected counts over all
     diagonals (semantics of diagonalCalculationExpectations /
     updateExpectations, reference impl/pairwiseAligner.c:735-746, :418-438):
@@ -419,16 +457,28 @@ def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
 
     Scaled space: relative to diagonal k's frame, F_{k-1} carries an extra
     exp(-mf_k) and F_{k-2} an extra exp(-mf_k - mf_{k-1}).
+
+    halo: optional (F1c, F2c, mf_boundary, d_boundary) giving the true
+    F_{k0-1}, F_{k0-2}, mf_{k0-1}, delta_{k0-1} when F_all is an interior
+    window [k0, k0+K) of the streaming engine (default: row 0 boundary,
+    where the F_{-1}/F_{-2} neighbors are zero).
     """
     S = F_all.shape[1]
     W = F_all.shape[2]
     t_x, t_m, t_y = prob["t"][0], prob["t"][1], prob["t"][2]
 
     zero = jnp.zeros((1, S, W), F_all.dtype)
-    F_km1 = jnp.concatenate([zero, F_all[:-1]])
-    F_km2 = jnp.concatenate([zero, zero, F_all[:-2]])
-    mf_km1 = jnp.concatenate([jnp.zeros((1,), mf.dtype), mf[:-1]])
-    d_km1 = jnp.concatenate([delta[:1], delta[:-1]])
+    if halo is None:
+        F_km1 = jnp.concatenate([zero, F_all[:-1]])
+        F_km2 = jnp.concatenate([zero, zero, F_all[:-2]])
+        mf_km1 = jnp.concatenate([jnp.zeros((1,), mf.dtype), mf[:-1]])
+        d_km1 = jnp.concatenate([delta[:1], delta[:-1]])
+    else:
+        F1c, F2c, mf_b, d_b = halo
+        F_km1 = jnp.concatenate([F1c[None], F_all[:-1]])
+        F_km2 = jnp.concatenate([F2c[None], F1c[None], F_all[:-2]])
+        mf_km1 = jnp.concatenate([mf_b[None].astype(mf.dtype), mf[:-1]])
+        d_km1 = jnp.concatenate([d_b[None].astype(delta.dtype), delta[:-1]])
 
     adj1 = jnp.exp(-mf)
     adj2 = jnp.exp(-mf - mf_km1)
