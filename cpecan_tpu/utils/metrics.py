@@ -64,6 +64,30 @@ def snapshot() -> dict:
         }
 
 
+def jit_cache_entries() -> int:
+    """Total compiled-executable count across the package's jitted entry
+    points — a recompilation early-warning (shape-bucket drift compiles a
+    new executable per new (P, W, B, k) combination; see
+    align/batch.py)."""
+    total = 0
+    try:
+        from cpecan_tpu.align import batch as batch_mod
+        from cpecan_tpu.ops import fb, fb_batch, fb_streaming, fb_wavefront
+
+        for fn in (fb.fb_pass, fb_batch.fb_pass_batch_scan,
+                   fb_wavefront._fb_wavefront_jit,
+                   fb_streaming._fwd_window_jit,
+                   fb_streaming._bwd_window_jit,
+                   batch_mod._count_above, batch_mod._compact_above):
+            try:
+                total += fn._cache_size()
+            except Exception:
+                pass
+    except Exception:
+        pass
+    return total
+
+
 def report_lines() -> list:
     """Human-readable metric lines, including derived cells/s when both a
     dp_cells counter and an fb stage time exist."""
@@ -77,6 +101,7 @@ def report_lines() -> list:
     fb = snap["stages"].get("fb_pass")
     if cells and fb and fb["seconds"] > 0:
         lines.append(f"dp_cells_per_sec: {cells / fb['seconds']:,.0f}")
+    lines.append(f"jit_cache_entries: {jit_cache_entries()}")
     return lines
 
 

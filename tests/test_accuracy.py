@@ -61,6 +61,53 @@ def _sens_spec(predicted, truth):
     return sens, spec
 
 
+@pytest.mark.slow
+def test_anchored_10kb_with_large_gap_splitting():
+    """10-50 kb anchored regime (BASELINE config #3): a long evolved pair
+    with a big unrelated middle region, so k-mer anchoring, recursive
+    re-anchoring, large-gap SPLITTING and the bucketed batch policy all
+    fire together (reference long-test analog,
+    tests/pairwiseAlignerLongTest.c:40-121 — asserted here)."""
+    from cpecan_tpu.align.anchors import get_anchors
+    from cpecan_tpu.align.split import get_split_points
+
+    rng = random.Random(5)
+    n_flank = 5000
+    n_mid = 4000
+    flank_a = "".join(rng.choice("ACGT") for _ in range(n_flank))
+    flank_b = "".join(rng.choice("ACGT") for _ in range(n_flank))
+    mid_x = "".join(rng.choice("ACGT") for _ in range(n_mid))
+    mid_y = "".join(rng.choice("ACGT") for _ in range(n_mid))  # unrelated
+
+    ya, truth_a = tracked_evolve(flank_a, rng, sub_rate=0.05)
+    yb, truth_b = tracked_evolve(flank_b, rng, sub_rate=0.05)
+    seq_x = flank_a + mid_x + flank_b
+    seq_y = ya + mid_y + yb
+    truth = (truth_a
+             + [(x + n_flank + n_mid, y + len(ya) + n_mid)
+                for x, y in truth_b])
+
+    sm = state_machine5()
+    p = PairwiseAlignmentParameters()
+    anchors = get_anchors(seq_x, seq_y, p)
+    assert len(anchors) > 50  # anchoring found the flanks
+    split_points = get_split_points(anchors, len(seq_x), len(seq_y),
+                                    p.splitMatrixBiggerThanThis, False, False)
+    assert len(split_points) >= 2  # the unrelated middle forced a split
+
+    pairs = get_aligned_pairs(sm, seq_x, seq_y, p)
+    ordered = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs_mod.sort_pairs(pairs), seq_x, seq_y, 0.9)
+    sens, spec = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
+    assert sens > 0.90, f"sensitivity {sens:.3f}"
+    assert spec > 0.90, f"specificity {spec:.3f}"
+
+    # the unrelated middle must not produce confident matches
+    mid_pred = [(x, y) for x, y in zip(ordered["x"], ordered["y"])
+                if n_flank + 500 < x < n_flank + n_mid - 500]
+    assert len(mid_pred) < n_mid // 20
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_posterior_decode_recovers_planted_alignment(seed):
     rng = random.Random(seed)
