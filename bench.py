@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Headline benchmark: pair-HMM DP cells/sec/chip.
+"""Benchmark harness for the five BASELINE.md configs.
 
-Runs the batched banded forward-backward posterior pass (the framework's
-hot path) on the available accelerator over a batch of ~1 kb read pairs,
-and prints ONE JSON line:
+Default (no args): the headline metric — pair-HMM DP cells/sec/chip on
+banded ~1 kb pairs — printed as ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline compares against the measured single-core C cell-update rate
-(native/bench_cells.c, the reference's per-cell arithmetic with
-lookup-based logAdd), built on first use. DP cells are counted as in-band
-(diagonal, slot) positions; each requires one forward and one backward
+`--all` measures every BASELINE.md config and prints one JSON report
+(also written to BENCH_ALL.json); `--config NAME` runs a single config;
+`--update-readme` regenerates the README.md performance table from the
+measured report.
+
+vs_baseline compares cell-throughput metrics against the measured
+single-core C cell-update rate (native/bench_cells.c, the reference's
+per-cell arithmetic with lookup-based logAdd), built on first use.
+Metrics with no C comparator (the reference publishes no numbers,
+BASELINE.md) report vs_baseline: null. DP cells are counted as in-band
+(diagonal, slot) positions; each costs one forward and one backward
 5-state update.
 """
 
+import argparse
+import io
 import json
 import os
+import random
 import subprocess
 import sys
 import time
@@ -35,6 +44,7 @@ from cpecan_tpu.ops import fb_batch
 from cpecan_tpu.ops.band import construct_band, pad_band
 from cpecan_tpu.utils.symbols import encode
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 SEQ_LEN = 1000
 BATCH = 256
 EXPANSION = 20  # default diagonalExpansion
@@ -42,9 +52,8 @@ EXPANSION = 20  # default diagonalExpansion
 
 def measure_c_baseline() -> float:
     """Build + run the single-core C micro-benchmark; returns cells/s."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "native", "bench_cells.c")
-    exe = os.path.join(here, "native", "bench_cells")
+    src = os.path.join(HERE, "native", "bench_cells.c")
+    exe = os.path.join(HERE, "native", "bench_cells")
     try:
         if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
             subprocess.run(["gcc", "-O3", "-o", exe, src, "-lm"], check=True,
@@ -55,6 +64,31 @@ def measure_c_baseline() -> float:
     except Exception:
         return 5.0e6  # conservative single-core estimate if toolchain absent
 
+
+def _random_pair(rng: np.random.Generator, n: int):
+    """An evolved read pair: ~20% substitutions + short indels, the
+    reference's test-data model (impl/randomSequences.c:50-73)."""
+    import cpecan_tpu.utils.symbols as sym
+
+    pyrng = random.Random(int(rng.integers(0, 2**31)))
+    x = sym.get_random_sequence(n, pyrng).upper()
+    y = sym.evolve_sequence(x, pyrng).upper()
+    return x, y
+
+
+def _time_reps(fn, reps: int, warmup: int = 1) -> float:
+    """Median-of-reps wall time after warmup runs."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+# ------------------------------------------------------------- headline
 
 def build_batch(rng):
     """Banded ~1kb pairs: anchors every 50 bp on the identity diagonal with
@@ -81,7 +115,9 @@ def build_batch(rng):
             np.asarray(lxs, np.int32), np.asarray(lys, np.int32), W, cells)
 
 
-def main():
+def bench_headline(baseline: float) -> dict:
+    """DP cells/s/chip on the fused banded FB posterior pass (B=256,
+    1 kb anchored pairs)."""
     rng = np.random.default_rng(0)
     sx, sy, offsets, widths, lx, ly, W, cells = build_batch(rng)
     params = state_machine5().device_params()
@@ -106,13 +142,372 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     cells_per_sec = cells / dt
-    baseline = measure_c_baseline()
-    print(json.dumps({
+    return {
         "metric": "pairhmm_dp_cells_per_sec_per_chip",
         "value": round(cells_per_sec),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_sec / baseline, 2),
-    }))
+    }
+
+
+# ------------------------------------- config 1: realign 1 kb latency
+
+def bench_realign_1kb(baseline: float) -> dict:
+    """End-to-end latency of the realign CLI on one ~1 kb record
+    (BASELINE config #1): parse, anchor from the input cigar, band,
+    banded FB posteriors, reweight, poset-consistency filter, cigar out.
+    Also reports posterior parity between the active engine and the
+    lax.scan oracle on the same pair."""
+    import tempfile
+
+    from cpecan_tpu.cli import realign as realign_cli
+    from cpecan_tpu.io import cigar as cigar_io
+
+    rng = np.random.default_rng(1)
+    x, y = _random_pair(rng, SEQ_LEN)
+    m = min(len(x), len(y))
+    ops = [(cigar_io.MATCH, m)]
+    if len(x) > m:
+        ops.append((cigar_io.INDEL_X, len(x) - m))
+    if len(y) > m:
+        ops.append((cigar_io.INDEL_Y, len(y) - m))
+    pa = cigar_io.PairwiseAlignment(
+        "seqX", 0, len(x), True, "seqY", 0, len(y), True, 0.0, ops)
+    text = cigar_io.cigar_format(pa) + "\n"
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "seqs.fa")
+        with open(fasta, "w") as fh:
+            fh.write(f">seqX\n{x}\n>seqY\n{y}\n")
+
+        def run():
+            out = io.StringIO()
+            rc = realign_cli.main([fasta], stdin=io.StringIO(text), stdout=out)
+            assert rc == 0
+
+        dt = _time_reps(run, reps=5, warmup=2)
+
+    parity = _posterior_parity(x, y)
+    return {
+        "metric": "realign_1kb_latency",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": None,
+        "posterior_parity_max_abs": parity,
+    }
+
+
+def _posterior_parity(x: str, y: str) -> float:
+    """Max |posterior| gap between the active engine and the scan oracle
+    on one banded pair (fixed-point units of 1e7 = PAIR_ALIGNMENT_PROB_1,
+    returned as a probability). The C logAdd lookup is itself ~1e-3
+    approximate, which sets the parity bar (SURVEY.md hard part #2)."""
+    from cpecan_tpu.align import pairwise
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.models.state_machine import state_machine5 as sm5
+
+    sm = sm5()
+    p = PairwiseAlignmentParameters()
+    anchors = [(i, i) for i in range(25, min(len(x), len(y)) - 25, 50)]
+
+    engines = {}
+    for engine in ("auto", "scan"):
+        os.environ["CPECAN_TPU_ENGINE"] = engine
+        try:
+            pairs = pairwise.get_aligned_pairs_using_anchors(
+                sm, x, y, anchors, p)
+        finally:
+            del os.environ["CPECAN_TPU_ENGINE"]
+        engines[engine] = {(int(r["x"]), int(r["y"])): int(r["prob"])
+                           for r in pairs}
+    keys = set(engines["auto"]) | set(engines["scan"])
+    diff = max((abs(engines["auto"].get(k, 0) - engines["scan"].get(k, 0))
+                for k in keys), default=0)
+    return round(diff / 1e7, 6)
+
+
+# --------------------------------- config 2: 1024 x 1 kb full-band pairs
+
+def bench_read_pairs_1kb(baseline: float, n_pairs: int = 1024) -> dict:
+    """Batched FB + posterior pair decoding of 1024 random ~1 kb evolved
+    pairs, full band, single chip (BASELINE config #2), through the real
+    end-to-end batch API (shape bucketing, device batching, sparse pair
+    extraction)."""
+    from cpecan_tpu.align import batch as batch_mod
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.models.state_machine import state_machine5 as sm5
+
+    from cpecan_tpu.ops.band import full_band
+
+    rng = np.random.default_rng(2)
+    sm = sm5()
+    # anchors=None: full-band jobs (whole rectangle, no splitting)
+    p = PairwiseAlignmentParameters()
+    jobs, cells = [], 0
+    for _ in range(n_pairs):
+        x, y = _random_pair(rng, SEQ_LEN)
+        jobs.append((x, y, None, False, False))
+        cells += int(full_band(len(x), len(y)).widths.sum())
+
+    def run():
+        batch_mod.batch_posteriors(sm, jobs, p, mode="posterior_match")
+
+    dt = _time_reps(run, reps=3, warmup=1)
+    return {
+        "metric": "read_pairs_1kb_per_sec",
+        "value": round(n_pairs / dt, 2),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+        "dp_cells_per_sec": round(cells / dt),
+        "vs_baseline_cells": round(cells / dt / baseline, 2),
+    }
+
+
+# ------------------------------------ config 3: anchored 10-50 kb pairs
+
+def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
+    """Anchored banded alignment of one 50 kb evolved pair end to end
+    (BASELINE config #3): native k-mer seeding/chaining, recursion,
+    large-gap splitting, bucketed device batches, pair extraction."""
+    from cpecan_tpu.align import pairwise
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.models.state_machine import state_machine5 as sm5
+    from cpecan_tpu.utils import metrics
+
+    rng = np.random.default_rng(3)
+    x, y = _random_pair(rng, n)
+    sm = sm5()
+    p = PairwiseAlignmentParameters()
+
+    cells = [0]
+
+    def run():
+        metrics.reset()
+        pairs = pairwise.get_aligned_pairs(sm, x, y, p)
+        cells[0] = metrics.snapshot()["counters"].get("dp_cells", 0)
+        assert len(pairs) > 0
+
+    dt = _time_reps(run, reps=3, warmup=1)
+    return {
+        "metric": "anchored_50kb_e2e",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "dp_cells_per_sec": round(cells[0] / dt),
+        "vs_baseline_cells": round(cells[0] / dt / baseline, 2),
+    }
+
+
+# ------------------------------------------- config 4: EM iterations/s
+
+def bench_em(baseline: float, n_pairs: int = 64) -> dict:
+    """Baum-Welch EM iterations/s over a 64 x 1 kb corpus (BASELINE
+    config #4): bucketed expectation batches on device (in-jit count
+    reduction) + host M-step, the cPecanEm iteration loop."""
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.em import em as em_mod
+    from cpecan_tpu.io import cigar as cigar_io
+    from cpecan_tpu.models.hmm import Hmm, StateMachineType
+    from cpecan_tpu.models.state_machine import state_machine_from_hmm
+
+    rng = np.random.default_rng(4)
+    sequences, cigars = {}, []
+    for i in range(n_pairs):
+        x, y = _random_pair(rng, SEQ_LEN)
+        sequences[f"x{i}"] = x
+        sequences[f"y{i}"] = y
+        m = min(len(x), len(y))
+        ops = [(cigar_io.MATCH, m)]
+        if len(x) > m:
+            ops.append((cigar_io.INDEL_X, len(x) - m))
+        if len(y) > m:
+            ops.append((cigar_io.INDEL_Y, len(y) - m))
+        cigars.append(cigar_io.PairwiseAlignment(
+            f"x{i}", 0, len(x), True, f"y{i}", 0, len(y), True, 0.0, ops))
+
+    options = em_mod.EmOptions(iterations=1, trials=1)
+    p = options.pairwise_params()
+    tasks = em_mod.tasks_from_cigars(cigars, sequences, p)
+    model = em_mod.make_initial_model(options, random.Random(0))
+
+    def one_iteration(model: Hmm) -> Hmm:
+        sm = state_machine_from_hmm(model)
+        expectations = Hmm(model.type, pseudo_expectation=1e-12)
+        em_mod.expectation_step(sm, tasks, p, expectations)
+        return em_mod.maximisation_step(expectations, model, options)
+
+    state = [model]
+
+    def run():
+        state[0] = one_iteration(state[0])
+
+    dt = _time_reps(run, reps=3, warmup=1)
+    return {
+        "metric": "em_iterations_per_sec_64x1kb",
+        "value": round(1.0 / dt, 3),
+        "unit": "iters/s",
+        "vs_baseline": None,
+    }
+
+
+# ------------------------------------------------- config 5: MSA
+
+def bench_msa(baseline: float, n_seqs: int = 20, seq_len: int = 500) -> dict:
+    """Progressive multiple alignment of 20 x 500 bp evolved sequences
+    (BASELINE config #5 at single-chip scale): spanning-tree pair
+    selection, batched pairwise posteriors on device, host column
+    merging."""
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.models.state_machine import state_machine5 as sm5
+    from cpecan_tpu.msa import aligner
+
+    pyrng = random.Random(5)
+    import cpecan_tpu.utils.symbols as sym
+
+    root = sym.get_random_sequence(seq_len, pyrng).upper()
+    frags = [aligner.SeqFrag(sym.evolve_sequence(root, pyrng).upper(), i, i + 1)
+             for i in range(n_seqs)]
+    sm = sm5()
+    p = PairwiseAlignmentParameters()
+
+    def run():
+        ma = aligner.make_alignment(sm, frags, spanning_trees=2,
+                                    max_pairs_to_consider=10_000_000,
+                                    use_progressive_merging=True,
+                                    match_gamma=0.0, p=p, seed=0)
+        assert len(ma.column_list()) > 0
+
+    dt = _time_reps(run, reps=3, warmup=1)
+    return {
+        "metric": f"msa_{n_seqs}x{seq_len}_e2e",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,
+    }
+
+
+CONFIGS = {
+    "headline": bench_headline,
+    "realign_1kb": bench_realign_1kb,
+    "read_pairs_1kb": bench_read_pairs_1kb,
+    "anchored_50kb": bench_anchored_50kb,
+    "em": bench_em,
+    "msa": bench_msa,
+}
+
+_README_BEGIN = "<!-- bench:begin -->"
+_README_END = "<!-- bench:end -->"
+
+
+def update_readme(report: dict) -> None:
+    """Regenerate the README performance table between the bench markers
+    from a measured BENCH_ALL report."""
+    by_name = {c["name"]: c for c in report["configs"]}
+    backend = report["backend"]
+
+    def fmt(name, key="value", scale=1.0, digits=2):
+        c = by_name.get(name)
+        if c is None or c.get(key) is None:
+            return "—"
+        v = c[key] * scale
+        if v >= 1e6:
+            return f"{v / 1e6:.0f}M"
+        return f"{v:.{digits}f}"
+
+    lines = [
+        _README_BEGIN,
+        f"Measured on `{backend}` (`python bench.py --all`, "
+        f"C baseline {report['c_baseline_cells_per_sec'] / 1e6:.1f}M cells/s "
+        "single-core):",
+        "",
+        "| BASELINE.md config | result | vs single-core C |",
+        "|---|---|---|",
+        f"| DP cells/s/chip, B=256 banded 1 kb pairs (headline) | "
+        f"{fmt('headline')} cells/s | "
+        f"{by_name['headline']['vs_baseline']}x |",
+        f"| realign CLI, one 1 kb record end to end | "
+        f"{fmt('realign_1kb', digits=3)} s (posterior parity "
+        f"{by_name['realign_1kb']['posterior_parity_max_abs']:g}) | — |",
+        f"| 1024 x 1 kb full-band pairs, batched decode | "
+        f"{fmt('read_pairs_1kb')} pairs/s "
+        f"({fmt('read_pairs_1kb', 'dp_cells_per_sec')} cells/s) | "
+        f"{by_name['read_pairs_1kb']['vs_baseline_cells']}x |",
+        f"| 50 kb anchored pair end to end | "
+        f"{fmt('anchored_50kb', digits=2)} s "
+        f"({fmt('anchored_50kb', 'dp_cells_per_sec')} cells/s) | "
+        f"{by_name['anchored_50kb']['vs_baseline_cells']}x |",
+        f"| EM iteration, 64 x 1 kb corpus | "
+        f"{fmt('em')} iters/s | — |",
+        f"| progressive MSA, 20 x 500 bp | "
+        f"{fmt('msa')} s | — |",
+        _README_END,
+    ]
+    path = os.path.join(HERE, "README.md")
+    with open(path) as fh:
+        text = fh.read()
+    if _README_BEGIN in text:
+        head, rest = text.split(_README_BEGIN, 1)
+        _, tail = rest.split(_README_END, 1)
+        text = head + "\n".join(lines) + tail
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="run every BASELINE.md config; one-line JSON report")
+    ap.add_argument("--config", choices=sorted(CONFIGS),
+                    help="run a single named config")
+    ap.add_argument("--update-readme", action="store_true",
+                    help="regenerate the README performance table "
+                         "(implies --all unless --config)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny problem sizes (fast correctness check of the "
+                         "harness itself; numbers are meaningless)")
+    args = ap.parse_args()
+
+    baseline = measure_c_baseline()
+
+    if not (args.all or args.config or args.update_readme):
+        print(json.dumps(bench_headline(baseline)))
+        return
+
+    smoke_kwargs = {
+        "read_pairs_1kb": {"n_pairs": 8},
+        "anchored_50kb": {"n": 5000},
+        "em": {"n_pairs": 4},
+        "msa": {"n_seqs": 6, "seq_len": 100},
+    } if args.smoke else {}
+    if args.smoke:
+        global BATCH
+        BATCH = 8
+
+    names = [args.config] if args.config else list(CONFIGS)
+    configs = []
+    for name in names:
+        result = CONFIGS[name](baseline, **smoke_kwargs.get(name, {}))
+        result = {"name": name, **result}
+        configs.append(result)
+        print(json.dumps(result), file=sys.stderr)  # progress
+
+    report = {
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "c_baseline_cells_per_sec": baseline,
+        "configs": configs,
+    }
+    print(json.dumps(report))
+    if args.smoke:
+        return  # never persist smoke numbers
+    if not args.config:
+        with open(os.path.join(HERE, "BENCH_ALL.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+            fh.write("\n")
+    if args.update_readme:
+        update_readme(report)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from cpecan_tpu.align.pairwise import (
     _bucket, _iterate_chunks, _width_bucket)
 from cpecan_tpu.ops import fb_batch, fb_streaming
 from cpecan_tpu.ops import pairs as pairs_mod
-from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.ops.band import construct_band, full_band, pad_band
 from cpecan_tpu.utils import metrics
 from cpecan_tpu.utils.symbols import encode
 
@@ -81,6 +81,13 @@ def _sparse_to_pairs(idx_row, val_row, offsets64, W, L, ox, oy):
         xs - 1 + ox, ys - 1 + oy)
 
 
+# Dense posterior outputs (B x (P+1) x W floats per mode output) live on
+# device until sparsified; launches are split and flushed so the bytes
+# queued stay bounded — wide full-band workloads can't exhaust HBM, while
+# small buckets still pipeline across launches.
+_DENSE_BUDGET = 1 << 30
+
+
 def _batch_bucket_size(n: int) -> int:
     """Pad batch sizes to powers of two (bounds the number of compiled
     shapes per (P, W) bucket)."""
@@ -126,6 +133,11 @@ def _run_streaming_task(params, t, band, p, mode, keys):
 def _expand_jobs(jobs, p):
     tasks = []
     for ji, (seq_x, seq_y, anchor_pairs, rl0, rr0) in enumerate(jobs):
+        if anchor_pairs is None:
+            # full-band job (the reference's unbanded small-matrix path):
+            # whole rectangle, no splitting
+            tasks.append(_Task(ji, 0, 0, seq_x, seq_y, None, rl0, rr0))
+            continue
         for (x1, y1, x2, y2), local, rl, rr in _iterate_chunks(
                 seq_x, seq_y, anchor_pairs, p, rl0, rr0):
             if x2 - x1 == 0 and y2 - y1 == 0:
@@ -140,7 +152,8 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     """Run all jobs' band chunks through shape-bucketed device batches.
 
     jobs: iterable of (seq_x, seq_y, anchor_pairs, ragged_left,
-    ragged_right). Returns, per job, the thresholded posterior pair
+    ragged_right); anchor_pairs=None runs the job full-band (whole
+    rectangle, no splitting). Returns, per job, the thresholded posterior pair
     array(s): one array in posterior_match mode, a (match, gap_x, gap_y)
     triple in posterior_all mode. With a mesh, each bucket's batch is
     padded to the device count and sharded over the "data" axis.
@@ -153,7 +166,9 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     params = sm.device_params()
     buckets: dict = {}
     for t in tasks:
-        if p.dynamicAnchorExpansion:
+        if t.anchors is None:
+            band = full_band(len(t.sub_x), len(t.sub_y))
+        elif p.dynamicAnchorExpansion:
             band = construct_band(t.anchors, len(t.sub_x), len(t.sub_y),
                                   expansion=None)
         else:
@@ -175,9 +190,48 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     # compute (the device queue is async; each forced value is a host
     # round-trip that would otherwise serialize per bucket).
     n_dev = 1 if mesh is None else mesh.devices.size
-    pending = []  # (items, offs_per, out, counts) per bucket
+    pending = []  # (items, offs_per, out, counts) per launch
+    pending_bytes = 0
+
+    def flush():
+        """Phases 2+3 for everything queued: sparsify on device — only
+        the >= threshold entries cross the host link (the dense
+        posteriors can be 100x larger) — then emit host pair arrays."""
+        nonlocal pending, pending_bytes
+        compacted = []
+        for items, offs_per, out, counts in pending:
+            sparse_dev = []
+            for k, cnt in zip(keys, counts):
+                n_above = int(np.max(np.asarray(cnt)[: len(items)],
+                                     initial=0))
+                kk = _batch_bucket_size(max(n_above, 64))
+                sparse_dev.append(_compact_above(out[k], p.threshold, kk))
+            Wp = out[keys[0]].shape[2]
+            compacted.append((items, offs_per, Wp, sparse_dev))
+
+        for items, offs_per, Wp, sparse_dev in compacted:
+            sparse = [(np.asarray(idx), np.asarray(vals))
+                      for idx, vals in sparse_dev]
+            for i, (t, band) in enumerate(items):
+                L = band.diagonal_number
+                for oi in range(n_out):
+                    idx, vals = sparse[oi]
+                    results[oi][t.job].append(_sparse_to_pairs(
+                        idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
+        pending = []
+        pending_bytes = 0
+
+    dense_budget = _DENSE_BUDGET
+
     with metrics.stage("fb_pass"):
+        launches = []
         for (P, W), items in sorted(buckets.items()):
+            bmax = max(1, int(dense_budget // ((P + 1) * W * 4 * n_out)))
+            bmax = 1 << (bmax.bit_length() - 1)  # power of two: B == bmax
+            bmax = max(bmax, n_dev)
+            launches.extend(((P, W), items[s:s + bmax])
+                            for s in range(0, len(items), bmax))
+        for (P, W), items in launches:
             B = _batch_bucket_size(len(items))
             B = ((B + n_dev - 1) // n_dev) * n_dev
             sx = np.zeros((B, P), np.int32)
@@ -214,29 +268,10 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
                 mode=mode, width=W, mesh=mesh)
             counts = [_count_above(out[k], p.threshold) for k in keys]
             pending.append((items, offs_per, out, counts))
-
-        # sparsify on device: only the >= threshold entries cross the
-        # host link (the dense posteriors can be 100x larger)
-        compacted = []
-        for items, offs_per, out, counts in pending:
-            sparse_dev = []
-            for k, cnt in zip(keys, counts):
-                n_above = int(np.max(np.asarray(cnt)[: len(items)],
-                                     initial=0))
-                kk = _batch_bucket_size(max(n_above, 64))
-                sparse_dev.append(_compact_above(out[k], p.threshold, kk))
-            Wp = out[keys[0]].shape[2]
-            compacted.append((items, offs_per, Wp, sparse_dev))
-
-        for items, offs_per, Wp, sparse_dev in compacted:
-            sparse = [(np.asarray(idx), np.asarray(vals))
-                      for idx, vals in sparse_dev]
-            for i, (t, band) in enumerate(items):
-                L = band.diagonal_number
-                for oi in range(n_out):
-                    idx, vals = sparse[oi]
-                    results[oi][t.job].append(_sparse_to_pairs(
-                        idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
+            pending_bytes += B * (P + 1) * W * 4 * n_out
+            if pending_bytes >= dense_budget:
+                flush()
+        flush()
 
     merged = [[pairs_mod.concat_pairs(job_lists) for job_lists in res]
               for res in results]

@@ -407,10 +407,10 @@ def get_reference_pairwise_alignments(seq_frags) -> list:
     return chosen
 
 
-def get_distance_matrix(store: ColumnStore, seq_frags, max_pairs_to_consider: int):
-    """Substitution/identity counts from columns (reference :809-839).
-    Returns (subs, identities) matrices: subs[i,j] for i>j, identities for
-    i<j in the reference's packed layout; here two symmetric matrices."""
+def _distance_matrix_naive(store: ColumnStore, seq_frags,
+                           max_pairs_to_consider: int):
+    """Direct per-pair loop over column members — the parity oracle for
+    the vectorized get_distance_matrix (reference :809-839 structure)."""
     n = len(seq_frags)
     subs = np.zeros((n, n), dtype=np.int64)
     idents = np.zeros((n, n), dtype=np.int64)
@@ -431,6 +431,66 @@ def get_distance_matrix(store: ColumnStore, seq_frags, max_pairs_to_consider: in
                     subs[s1, s2] += 1
                     subs[s2, s1] += 1
                 considered += 1
+    return subs, idents
+
+
+def get_distance_matrix(store: ColumnStore, seq_frags, max_pairs_to_consider: int):
+    """Substitution/identity counts from columns (reference :809-839).
+    Returns (subs, identities) matrices: subs[i,j] for i>j, identities for
+    i<j in the reference's packed layout; here two symmetric matrices.
+
+    Vectorized: roots by pointer-jumping over the union-find array, member
+    pairs expanded per column-size bucket — the O(n_positions * members)
+    work stays in numpy (the host-side hot spot of the 100-sequence MSA
+    config; parity with _distance_matrix_naive is tested)."""
+    n = len(seq_frags)
+    subs = np.zeros((n, n), dtype=np.int64)
+    idents = np.zeros((n, n), dtype=np.int64)
+    N = store.n_positions
+    if N == 0:
+        return subs, idents
+
+    roots = np.asarray(store.parent, dtype=np.int64)
+    while True:  # pointer jumping to the union-find roots, log rounds
+        nxt = roots[roots]
+        if np.array_equal(nxt, roots):
+            break
+        roots = nxt
+
+    seq_starts = np.asarray(store.offsets, dtype=np.int64)
+    seq_of = np.searchsorted(seq_starts, np.arange(N), side="right") - 1
+    base = np.concatenate([
+        np.frombuffer(f.seq.encode("latin-1"), dtype=np.uint8)
+        for f in seq_frags])
+
+    # columns as groups of pids sorted by root, ties by pid; group order =
+    # ascending min pid (= the all_columns first-encounter order the
+    # max_pairs cutoff is defined over)
+    order = np.argsort(roots, kind="stable")
+    rs = roots[order]
+    gstart = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+    counts = np.diff(np.r_[gstart, N])
+    gorder = np.argsort(order[gstart], kind="stable")
+    gstart, counts = gstart[gorder], counts[gorder]
+
+    # cutoff: a column's pairs count iff fewer than max pairs were
+    # considered before it (per-column granularity, like the loop above)
+    cum_before = np.r_[0, np.cumsum(counts * (counts - 1) // 2)[:-1]]
+    keep = (cum_before < max_pairs_to_consider) & (counts >= 2)
+    gstart, counts = gstart[keep], counts[keep]
+
+    for k in np.unique(counts):
+        g = gstart[counts == k]
+        ii, jj = np.triu_indices(int(k), 1)
+        pa = order[(g[:, None] + ii[None, :]).ravel()]
+        pb = order[(g[:, None] + jj[None, :]).ravel()]
+        s1, s2 = seq_of[pa], seq_of[pb]
+        eq = base[pa] == base[pb]
+        np.add.at(idents, (s1[eq], s2[eq]), 1)
+        np.add.at(idents, (s2[eq], s1[eq]), 1)
+        ne = ~eq
+        np.add.at(subs, (s1[ne], s2[ne]), 1)
+        np.add.at(subs, (s2[ne], s1[ne]), 1)
     return subs, idents
 
 

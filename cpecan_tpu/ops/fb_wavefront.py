@@ -71,6 +71,10 @@ GROUP = 8
 CHUNK = 64
 # (the expectation kernel streams ~2x the inputs and uses chunk // 2)
 
+# HBM budget for the F_all forward intermediate; batches whose F_all would
+# exceed it are executed in group-aligned slices by the dispatcher.
+_F_ALL_BUDGET = 3 << 30
+
 # pm bitfield (int8 per (row, slot))
 _PM_MATCH = 1  # posterior-match valid: 1<=k<=L & slot & x>0 & y>0
 _PM_GAPX = 2
@@ -873,12 +877,12 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
             best, best_score = g, score
         g *= 2
     group = best
-    # shrink the pair group when the F_all HBM intermediate would blow up
-    # (long unanchored pairs: huge rows x wide bands) — padding the batch
-    # to a multiple of G materializes rows*S*W floats per padded pair
-    budget = 3 << 30  # bytes for F_all
+    # shrink the pair group when even one group's slice of the F_all HBM
+    # intermediate would blow the budget (long unanchored pairs: huge
+    # rows x wide bands); the dispatcher separately slices the batch so
+    # the whole-batch F_all stays bounded too
     per_pair = (P + 1 + 64) * S * W * 4
-    while group > 1 and -(-B // group) * group * per_pair > budget:
+    while group > 1 and group * per_pair > _F_ALL_BUDGET:
         group //= 2
     # multiple of 8 so the expectation kernel's half-chunk and its 2-row
     # halo block indexing stay aligned
@@ -911,6 +915,25 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     W = int(width)
     B = int(sx.shape[0])
     group, chunk = pick_tiles(B, W, P, S, mode)
+
+    # The F_all forward intermediate is materialized for the whole batch
+    # (B x rows x S x W floats); slice the batch so each device call stays
+    # inside the HBM budget (group-sized multiples keep the grid shape —
+    # and the compiled executable — identical across slices).
+    per_pair = (P + 1 + 64) * S * W * 4
+    bmax = max(group, (_F_ALL_BUDGET // per_pair) // group * group)
+    if B > bmax:
+        outs = []
+        for i in range(0, B, bmax):
+            sl = slice(i, min(i + bmax, B))
+            outs.append(fb_pass_batch_wavefront(
+                params, sx[sl], sy[sl], offsets[sl], widths[sl], lx[sl],
+                ly[sl], ragged_left[sl], ragged_right[sl], mode=mode,
+                width=width, interpret=interpret, nz=nz))
+        return {k: (sum(o[k] for o in outs) if k in ("trans", "emis")
+                    else jnp.concatenate([o[k] for o in outs], axis=0))
+                for k in outs[0]}
+
     rows = -(-(P + 1) // chunk) * chunk
     return _fb_wavefront_jit(
         params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),

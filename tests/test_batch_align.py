@@ -71,3 +71,31 @@ def test_batch_matches_sequential_posterior_all():
             sm, sx, sy, anchors, p, rl, rr)
         for a, b in zip(triple, ref):
             _assert_same_pairs(a, b)
+
+
+def test_launch_splitting_matches_single_launch(monkeypatch):
+    """With a tiny dense-output budget the bucket loop splits into many
+    device launches and flushes between them; results must be identical
+    to the single-launch run."""
+    import random as _random
+
+    from cpecan_tpu.align import batch as batch_mod
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.models.state_machine import state_machine5
+    from cpecan_tpu.utils.symbols import evolve_sequence, get_random_sequence
+
+    rng = _random.Random(3)
+    sm = state_machine5()
+    p = PairwiseAlignmentParameters()
+    jobs = []
+    for _ in range(5):
+        x = get_random_sequence(60, rng).upper()
+        y = evolve_sequence(x, rng).upper()
+        jobs.append((x, y, None, False, False))  # full band
+
+    want = batch_mod.batch_posteriors(sm, jobs, p, mode="posterior_match")
+    monkeypatch.setattr(batch_mod, "_DENSE_BUDGET", 1 << 16)
+    got = batch_mod.batch_posteriors(sm, jobs, p, mode="posterior_match")
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.sort(g), np.sort(w))

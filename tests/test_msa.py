@@ -160,3 +160,32 @@ class TestPairwiseFilter:
         diag = {(int(q["x"]), int(q["y"])) for q in filtered}
         hits = sum(1 for i in range(len(x)) if (i, i) in diag)
         assert hits >= len(x) - 2
+
+
+class TestDistanceMatrixParity:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_vectorized_matches_naive(self, seed):
+        """The vectorized distance matrix (incl. the max-pairs column
+        cutoff) matches the direct member-pair loop on random merged
+        stores."""
+        import random as _random
+
+        from cpecan_tpu.msa.aligner import _distance_matrix_naive
+        from cpecan_tpu.msa.columns import ColumnDag, ColumnStore
+        from cpecan_tpu.utils.symbols import get_random_sequence
+
+        rng = _random.Random(seed)
+        frags = [SeqFrag(get_random_sequence(rng.randint(10, 30), rng), i, i + 1)
+                 for i in range(6)]
+        store = ColumnStore([f.length for f in frags])
+        dag = ColumnDag(store)
+        for _ in range(120):
+            s1, s2 = rng.sample(range(len(frags)), 2)
+            p1 = rng.randrange(frags[s1].length)
+            p2 = rng.randrange(frags[s2].length)
+            dag.add_pair_if_consistent(s1, p1, s2, p2)
+        for max_pairs in (0, 3, 17, 1 << 30):
+            got = get_distance_matrix(store, frags, max_pairs)
+            want = _distance_matrix_naive(store, frags, max_pairs)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])

@@ -137,3 +137,30 @@ def test_pick_tiles_envelope():
                 assert g >= 1 and (g & (g - 1)) == 0
                 if mode == "expectation":
                     assert g <= 64
+
+
+@pytest.mark.parametrize("mode", ["posterior_match", "expectation"])
+def test_batch_slicing_matches_unsliced(monkeypatch, mode):
+    """When the whole-batch F_all intermediate would exceed the HBM
+    budget, the dispatcher runs the batch in group-aligned slices;
+    outputs must match the unsliced call exactly (same kernel, same
+    shapes per slice)."""
+    rng = np.random.default_rng(7)
+    B = 6
+    args = _random_batch(rng, B=B, W=32)
+    rl = np.zeros(B, bool)
+    rr = np.zeros(B, bool)
+    params = state_machine5().device_params()
+
+    whole = fb_wavefront.fb_pass_batch_wavefront(
+        params, *args, rl, rr, mode=mode, width=32)
+    # budget of one pair's F_all: forces per-group slices
+    monkeypatch.setattr(fb_wavefront, "_F_ALL_BUDGET",
+                        (args[2].shape[1] + 64) * 5 * 32 * 4)
+    sliced = fb_wavefront.fb_pass_batch_wavefront(
+        params, *args, rl, rr, mode=mode, width=32)
+
+    for k in whole:
+        np.testing.assert_allclose(np.asarray(sliced[k]),
+                                   np.asarray(whole[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
