@@ -266,28 +266,44 @@ def bench_read_pairs_1kb(baseline: float, n_pairs: int = 1024) -> dict:
 # ------------------------------------ config 3: anchored 10-50 kb pairs
 
 def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
-    """Anchored banded alignment of one 50 kb evolved pair end to end
+    """Anchored banded alignment of one 50 kb genomic-like pair end to end
     (BASELINE config #3): native k-mer seeding/chaining, recursion,
-    large-gap splitting, bucketed device batches, pair extraction."""
+    large-gap splitting, bucketed device batches, pair extraction.
+    The pair is planted-truth evolved (10% substitutions, 2% short
+    indels — the anchored regime the config targets) so the bench also
+    reports alignment sensitivity/specificity, the long-test metric."""
     from cpecan_tpu.align import pairwise
     from cpecan_tpu.config import PairwiseAlignmentParameters
     from cpecan_tpu.models.state_machine import state_machine5 as sm5
+    from cpecan_tpu.msa.aligner import (
+        filter_pairwise_alignment_to_make_pairs_ordered)
+    from cpecan_tpu.ops import pairs as pairs_mod
     from cpecan_tpu.utils import metrics
+    import cpecan_tpu.utils.symbols as sym
 
-    rng = np.random.default_rng(3)
-    x, y = _random_pair(rng, n)
+    pyrng = random.Random(3)
+    x = "".join(pyrng.choice("ACGT") for _ in range(n))
+    y, truth = sym.tracked_evolve(x, pyrng)
     sm = sm5()
     p = PairwiseAlignmentParameters()
 
     cells = [0]
+    result = [None]
 
     def run():
         metrics.reset()
         pairs = pairwise.get_aligned_pairs(sm, x, y, p)
         cells[0] = metrics.snapshot()["counters"].get("dp_cells", 0)
+        result[0] = pairs
         assert len(pairs) > 0
 
     dt = _time_reps(run, reps=3, warmup=1)
+
+    ordered = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs_mod.sort_pairs(result[0]), x, y, 0.9)
+    truth_set = set(truth)
+    pred = {(int(px), int(py)) for px, py in zip(ordered["x"], ordered["y"])}
+    tp = len(pred & truth_set)
     return {
         "metric": "anchored_50kb_e2e",
         "value": round(dt, 3),
@@ -295,6 +311,8 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
         "vs_baseline": None,
         "dp_cells_per_sec": round(cells[0] / dt),
         "vs_baseline_cells": round(cells[0] / dt / baseline, 2),
+        "sensitivity": round(tp / max(len(truth_set), 1), 4),
+        "specificity": round(tp / max(len(pred), 1), 4),
     }
 
 
@@ -434,7 +452,9 @@ def update_readme(report: dict) -> None:
         f"{by_name['read_pairs_1kb']['vs_baseline_cells']}x |",
         f"| 50 kb anchored pair end to end | "
         f"{fmt('anchored_50kb', digits=2)} s "
-        f"({fmt('anchored_50kb', 'dp_cells_per_sec')} cells/s) | "
+        f"({fmt('anchored_50kb', 'dp_cells_per_sec')} cells/s, "
+        f"sens {by_name['anchored_50kb'].get('sensitivity', '—')} / "
+        f"spec {by_name['anchored_50kb'].get('specificity', '—')}) | "
         f"{by_name['anchored_50kb']['vs_baseline_cells']}x |",
         f"| EM iteration, 64 x 1 kb corpus | "
         f"{fmt('em')} iters/s | — |",

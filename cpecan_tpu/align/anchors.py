@@ -247,19 +247,54 @@ def filter_to_remove_overlap(pairs: list) -> list:
     return out
 
 
+# Max mismatch stretch bridged when merging same-diagonal chained runs
+# into one match run (the gapped-extension analog; lastz's x-drop stops
+# extension through long non-matching stretches).
+MAX_BRIDGE_GAP = 64
+
+
+def merge_colinear_runs(runs: np.ndarray,
+                        max_gap: int = MAX_BRIDGE_GAP) -> np.ndarray:
+    """Merge consecutive chained runs on the same diagonal into single
+    match runs spanning the substitutions between them.
+
+    This is the gapped-extension step of the anchor pipeline: lastz's
+    cigar M runs include substitutions — only indels break them
+    (--gapped, reference command line impl/pairwiseAligner.c:1034) — so
+    the reference's anchor runs span mismatches too. Exact-seed chains
+    break at every mismatch instead, and the downstream anchor trim
+    (constraintDiagonalTrim, default 14/side) would erase them entirely;
+    bridging same-diagonal neighbors (up to max_gap mismatch bases)
+    restores the M-run structure the trim semantics assume."""
+    if len(runs) <= 1:
+        return runs
+    runs = np.asarray(runs, dtype=np.int64)
+    x, y, ln = runs[:, 0], runs[:, 1], runs[:, 2]
+    same_diag = (x[1:] - y[1:]) == (x[:-1] - y[:-1])
+    bridged = same_diag & (x[1:] - (x[:-1] + ln[:-1]) <= max_gap)
+    new_run = np.r_[True, ~bridged]
+    starts = np.flatnonzero(new_run)
+    last = np.r_[starts[1:] - 1, len(runs) - 1]
+    return np.stack([x[starts], y[starts], x[last] + ln[last] - x[starts]],
+                    axis=1)
+
+
 def get_chained_runs(seq_x: str, seq_y: str, repeat_mask: bool,
                      k: int = DEFAULT_KMER,
                      max_occ: int = MAX_KMER_OCCURRENCES) -> np.ndarray:
     """Chained match runs (n, 3) of (x, y, len): native C++ fast path
-    (native/anchors.cpp via align/native.py) with numpy fallback."""
+    (native/anchors.cpp via align/native.py) with numpy fallback, followed
+    by same-diagonal bridging (merge_colinear_runs)."""
     from cpecan_tpu.align import native
 
     if native.available():
-        return native.chained_runs(seq_x, seq_y, k, max_occ, repeat_mask)
-    seeds = find_seeds(seq_x, seq_y, k=k, respect_mask=repeat_mask,
-                       max_occ=max_occ)
-    runs = merge_seeds_to_runs(seeds, k)
-    return chain_runs(runs)
+        chained = native.chained_runs(seq_x, seq_y, k, max_occ, repeat_mask)
+    else:
+        seeds = find_seeds(seq_x, seq_y, k=k, respect_mask=repeat_mask,
+                           max_occ=max_occ)
+        runs = merge_seeds_to_runs(seeds, k)
+        chained = chain_runs(runs)
+    return merge_colinear_runs(chained)
 
 
 LASTZ_ENV = "CPECAN_TPU_LASTZ"

@@ -37,7 +37,7 @@ def _package_lib() -> str:
 
 def _build_and_load():
     srcs = [os.path.join(_repo_root(), "native", f)
-            for f in ("anchors.cpp", "posetfilter.cpp")]
+            for f in ("anchors.cpp", "posetfilter.cpp", "mea.cpp")]
     lib = _package_lib()
     if not os.path.exists(lib):
         # dev checkout: lazy on-demand compile next to the sources
@@ -65,6 +65,13 @@ def _build_and_load():
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_double,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    cdll.cpecan_mea.restype = ctypes.c_int64
+    cdll.cpecan_mea.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64,
+        i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_double,
+        i64p, ctypes.POINTER(ctypes.c_double),
     ]
     return cdll
 
@@ -109,6 +116,26 @@ def chained_runs(seq_x: str, seq_y: str, k: int, max_occ: int,
     finally:
         _lib.cpecan_anchors_free(out)
     return runs
+
+
+def mea_decode(probs, xs, ys, cum_gap_x, cum_gap_y, lx: int, ly: int,
+               gap_gamma: float):
+    """MEA DP over a sparse posterior pair list (native/mea.cpp); returns
+    (chosen indices ascending, score). Bit-compatible with the numpy
+    fallback in ops/mea.py."""
+    if not available():
+        raise RuntimeError("native library unavailable")
+    n = len(probs)
+    chosen = np.empty(max(n, 1), np.int64)
+    score = ctypes.c_double()
+    count = _lib.cpecan_mea(
+        np.ascontiguousarray(probs, np.int64),
+        np.ascontiguousarray(xs, np.int64),
+        np.ascontiguousarray(ys, np.int64), n,
+        np.ascontiguousarray(cum_gap_x, np.int64), lx,
+        np.ascontiguousarray(cum_gap_y, np.int64), ly,
+        float(gap_gamma), chosen, ctypes.byref(score))
+    return chosen[:count], float(score.value)
 
 
 def filter_pairs_ordered(pairs, match_gamma: float) -> np.ndarray:

@@ -48,6 +48,9 @@ def make_parser() -> argparse.ArgumentParser:
                          "keys: diagonalExpansion, splitMatrixBiggerThanThis,"
                          " constraintDiagonalTrim")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--retryCount", type=int, default=1,
+                    help="transient-failure retries per expectation chunk "
+                         "(jobTree retryCount analog)")
     ap.add_argument("--dataParallel", action="store_true",
                     help="shard expectation batches over all local devices")
     # multi-host launch (the jobTree-cluster analog, cPecanEm.py:423):
@@ -109,6 +112,7 @@ def main(argv=None) -> int:
         splitMatrixBiggerThanThis=args.splitMatrixBiggerThanThis ** 2,
         constraintDiagonalTrim=args.constraintDiagonalTrim,
         seed=args.seed,
+        retryCount=args.retryCount,
     )
     sequences = read_sequences(args.sequences.split())
     with open(args.alignments) as fh:

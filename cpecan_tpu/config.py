@@ -22,6 +22,11 @@ class PairwiseAlignmentParameters:
     anchorMatrixBiggerThanThis: int = 500 * 500
     repeatMaskMatrixBiggerThanThis: int = 500 * 500
     splitMatrixBiggerThanThis: int = 3000 * 3000
+    # Stored-but-unread, faithfully: the reference parses and stores this
+    # flag (cPecanRealign.c:435, json key impl/pairwiseAligner.c:1379) but
+    # nothing in impl/ ever reads it — N is always scored through the
+    # wildcard emission rows (impl/stateMachine.c:351-366), which this
+    # framework mirrors in models/state_machine.py.
     alignAmbiguityCharacters: bool = False
     gapGamma: float = 0.5
     dynamicAnchorExpansion: bool = False

@@ -41,6 +41,7 @@ from cpecan_tpu.align.pairwise import _bucket, _width_bucket, _iterate_chunks
 from cpecan_tpu.io import cigar as cigar_io
 from cpecan_tpu.ops import fb_batch
 from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils.retry import run_with_retries
 from cpecan_tpu.utils.symbols import encode
 
 
@@ -69,6 +70,9 @@ class EmOptions:
     splitMatrixBiggerThanThis: int = 3000 * 3000
     constraintDiagonalTrim: int = 0
     seed: int = 0
+    # transient-failure retries per expectation chunk (the jobTree
+    # retryCount analog; jobTree re-ran failed Targets, cPecanEm.py:423)
+    retryCount: int = 1
 
     def model_type(self) -> StateMachineType:
         return StateMachineType[self.modelType]
@@ -345,8 +349,21 @@ def expectation_maximisation(sequences: dict, cigars: list, output_model: str,
         pseudo = 1e-12
         expectations = Hmm(options.model_type(), pseudo_expectation=pseudo)
         for chunk in local_chunks:
-            tasks = tasks_from_cigars(chunk, sequences, p)
-            expectation_step(sm, tasks, p, expectations, mesh=mesh)
+            # one chunk = one retry unit (the jobTree Target analog:
+            # cPecanEm's calculateExpectations jobs were re-run by jobTree
+            # up to retryCount on failure, cPecanEm.py:423-426). Counts go
+            # into a scratch container so a mid-chunk failure never
+            # double-accumulates.
+            def one_chunk():
+                scratch = Hmm(options.model_type())
+                tasks = tasks_from_cigars(chunk, sequences, p)
+                expectation_step(sm, tasks, p, scratch, mesh=mesh)
+                return scratch
+            scratch = run_with_retries(one_chunk, "expectation chunk",
+                                       attempts=options.retryCount + 1)
+            expectations.transitions += scratch.transitions
+            expectations.emissions += scratch.emissions
+            expectations.likelihood += scratch.likelihood
         if jax.process_count() > 1:
             trans, emis, like = all_sum_across_processes(
                 [expectations.transitions, expectations.emissions,

@@ -330,10 +330,9 @@ def backward_sweep(prob, ef_x, ef_y, ef_m, delta, jlo, jhi, L, end_vec, width):
     return B_all, mb
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "width"))
-def fb_pass(params, sx, sy, offsets, widths, lx, ly,
-            ragged_left, ragged_right, mode: str = "posterior_match",
-            width: int = 0):
+def _fb_pass_impl(params, sx, sy, offsets, widths, lx, ly,
+                  ragged_left, ragged_right, mode: str = "posterior_match",
+                  width: int = 0, debug: bool = False):
     """Full banded forward-backward pass for one (padded) pair.
 
     Args:
@@ -423,6 +422,31 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
     out["total_raw"] = jnp.log(total)
 
     valid_k = (ks_f >= 1) & (ks_f <= L)
+
+    if debug:
+        # Device-side invariants (jax.experimental.checkify user checks),
+        # the analog of the reference's pervasive asserts: the C re-checks
+        # the total-prob estimate every 10 posterior diagonals and aborts
+        # when successive estimates drift (impl/pairwiseAligner.c:830-838).
+        # Here every diagonal's total, rescaled to the global frame
+        # (total_raw[k] + cumsum(mf)[k] + revcumsum(mb)[k]), must agree.
+        from jax.experimental import checkify
+
+        cf = jnp.cumsum(mf)
+        cb = jnp.flip(jnp.cumsum(jnp.flip(mb)))
+        g = out["total_raw"] + cf + cb
+        mask = (ks_f >= 1) & (ks_f <= L)
+        ref_tot = jnp.max(jnp.where(mask, g, -jnp.inf))
+        drift = jnp.where(mask, ref_tot - g, 0.0)
+        checkify.check(
+            jnp.all(jnp.isfinite(jnp.where(mask, g, 0.0))),
+            "fb debug: non-finite per-diagonal total")
+        checkify.check(jnp.max(drift) < 1.0,
+                       "fb debug: per-diagonal totals drift > 1 nat "
+                       "(forward/backward inconsistency)")
+        checkify.check(
+            jnp.all(jnp.isfinite(jnp.where(mask, mf + mb, 0.0))),
+            "fb debug: non-finite diagonal scale")
     js = jnp.arange(W, dtype=jnp.int32)
     xs = xoff[:, None] + js[None, :]
     ys = ks_f[:, None] - xs
@@ -439,12 +463,61 @@ def fb_pass(params, sx, sy, offsets, widths, lx, ly,
         if mode == "posterior_all":
             out["post_gap_x"] = posterior(1, xs > 0)
             out["post_gap_y"] = posterior(2, ys > 0)
+        if debug:
+            from jax.experimental import checkify
+
+            checkify.check(jnp.max(out["post_match"]) <= 1.0 + 1e-3,
+                           "fb debug: match posterior > 1")
 
     if mode == "expectation":
         out["trans"], out["emis"] = _expectations(
             prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,
             wsymx, wsymy, slot_ok, valid_k)
     return out
+
+
+_fb_pass_jit = functools.partial(
+    jax.jit, static_argnames=("mode", "width", "debug"))(_fb_pass_impl)
+
+_checked_cache: dict = {}
+
+
+def debug_checks_enabled() -> bool:
+    """CPECAN_TPU_DEBUG=1 turns on device-side checkify invariants (the
+    reference's pervasive asserts — e.g. the monotone total-prob check,
+    impl/pairwiseAligner.c:833-836 — as jax.experimental.checkify user
+    checks)."""
+    import os
+
+    return os.environ.get("CPECAN_TPU_DEBUG", "0") != "0"
+
+
+def fb_pass(params, sx, sy, offsets, widths, lx, ly,
+            ragged_left, ragged_right, mode: str = "posterior_match",
+            width: int = 0):
+    """Banded FB pass for one padded pair (see _fb_pass_impl for the
+    contract). Dispatch: the plain jitted engine, or — with
+    CPECAN_TPU_DEBUG=1 and a direct (untraced) call — a
+    checkify-transformed variant that raises on violated device-side
+    invariants (per-diagonal total drift, non-finite scales,
+    posterior > 1)."""
+    if debug_checks_enabled() and not isinstance(lx, jax.core.Tracer):
+        from jax.experimental import checkify
+
+        key = (mode, width)
+        fn = _checked_cache.get(key)
+        if fn is None:
+            fn = jax.jit(checkify.checkify(
+                functools.partial(_fb_pass_impl, mode=mode, width=width,
+                                  debug=True),
+                errors=checkify.user_checks))
+            _checked_cache[key] = fn
+        err, out = fn(params, sx, sy, offsets, widths, lx, ly,
+                      ragged_left, ragged_right)
+        checkify.check_error(err)
+        return out
+    return _fb_pass_jit(params, sx, sy, offsets, widths, lx, ly,
+                        ragged_left, ragged_right, mode=mode, width=width)
 
 
 def _expectations(prob, F_all, B_all, mf, total, delta, e_x, e_y, e_m,

@@ -31,24 +31,11 @@ def _indel_prob(cum: np.ndarray, start: int, length: int) -> int:
     return int(cum[start + length - 1] - (cum[start - 1] if start > 0 else 0))
 
 
-def mea_alignment(aligned_pairs: np.ndarray, gap_x_pairs: np.ndarray,
-                  gap_y_pairs: np.ndarray, lx: int, ly: int,
-                  gap_gamma: float):
-    """Sparse MEA DP over the posterior pair list.
-
-    aligned_pairs must be in a topological order of the (x<x', y<y')
-    partial order (the diagonal-major emission order is). Returns
-    (alignment pairs, score). Score = match posterior + gamma * skipped gap
-    posterior, exactly the reference recurrence (:1647-1702).
-    """
-    n = len(aligned_pairs)
-    cum_gap_x = _cumulative_gap_probs(gap_x_pairs, lx, True)
-    cum_gap_y = _cumulative_gap_probs(gap_y_pairs, ly, False)
-
-    probs = aligned_pairs["prob"]
-    xs = aligned_pairs["x"]
-    ys = aligned_pairs["y"]
-
+def _mea_core_python(probs, xs, ys, cum_gap_x, cum_gap_y, lx, ly,
+                     gap_gamma):
+    """The MEA DP loop in numpy/Python — the parity oracle for the
+    native decoder (native/mea.cpp), same float64 op order."""
+    n = len(probs)
     scores = np.zeros(n + 1)
     back = np.full(n + 1, -1, dtype=np.int64)
     is_high = np.zeros(n + 1, dtype=bool)
@@ -90,9 +77,37 @@ def mea_alignment(aligned_pairs: np.ndarray, gap_x_pairs: np.ndarray,
         chosen.append(i)
         i = back[i]
     chosen.reverse()
-    if not chosen:
+    return np.asarray(chosen, dtype=np.int64), max_score
+
+
+def mea_alignment(aligned_pairs: np.ndarray, gap_x_pairs: np.ndarray,
+                  gap_y_pairs: np.ndarray, lx: int, ly: int,
+                  gap_gamma: float):
+    """Sparse MEA DP over the posterior pair list.
+
+    aligned_pairs must be in a topological order of the (x<x', y<y')
+    partial order (the diagonal-major emission order is). Returns
+    (alignment pairs, score). Score = match posterior + gamma * skipped gap
+    posterior, exactly the reference recurrence (:1647-1702). Runs the
+    native C++ decoder when available (bit-compatible), else the Python
+    loop."""
+    from cpecan_tpu.align import native
+
+    cum_gap_x = _cumulative_gap_probs(gap_x_pairs, lx, True)
+    cum_gap_y = _cumulative_gap_probs(gap_y_pairs, ly, False)
+
+    probs = np.ascontiguousarray(aligned_pairs["prob"], np.int64)
+    xs = np.ascontiguousarray(aligned_pairs["x"], np.int64)
+    ys = np.ascontiguousarray(aligned_pairs["y"], np.int64)
+
+    if native.available():
+        idx, max_score = native.mea_decode(
+            probs, xs, ys, cum_gap_x, cum_gap_y, lx, ly, gap_gamma)
+    else:
+        idx, max_score = _mea_core_python(
+            probs, xs, ys, cum_gap_x, cum_gap_y, lx, ly, gap_gamma)
+    if not len(idx):
         return empty_pairs(), max_score
-    idx = np.asarray(chosen)
     return make_pairs(probs[idx], xs[idx], ys[idx]), max_score
 
 

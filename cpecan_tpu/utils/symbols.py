@@ -89,3 +89,38 @@ def evolve_sequence(sequence: str, rng: random.Random | None = None) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+def tracked_evolve(sequence: str, rng: random.Random | None = None,
+                   sub_rate: float = 0.1, indel_rate: float = 0.02,
+                   max_indel: int = 5):
+    """Evolve a sequence with substitutions and short indels, returning
+    (mutant, true_pairs) where true_pairs is the exact list of (x, y)
+    aligned (possibly substituted) base pairs — a planted-truth generator
+    for accuracy tests and benchmarks (the repo-local stand-in for the
+    reference long test's curated ENCODE alignments,
+    tests/pairwiseAlignerLongTest.c:40-121)."""
+    rng = rng or random
+    out = []
+    true_pairs = []
+    y = 0
+    x = 0
+    n = len(sequence)
+    while x < n:
+        r = rng.random()
+        if r < indel_rate:  # deletion: skip input bases
+            x += rng.randint(1, max_indel)
+            continue
+        if r < 2 * indel_rate:  # insertion: emit random bases
+            ins = rng.randint(1, max_indel)
+            out.extend(rng.choice("ACGT") for _ in range(ins))
+            y += ins
+            continue
+        c = sequence[x]
+        if rng.random() < sub_rate:
+            c = rng.choice("ACGT")
+        out.append(c)
+        true_pairs.append((x, y))
+        x += 1
+        y += 1
+    return "".join(out), true_pairs

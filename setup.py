@@ -13,7 +13,8 @@ import subprocess
 from setuptools import setup
 from setuptools.command.build_py import build_py
 
-NATIVE_SOURCES = ["native/anchors.cpp", "native/posetfilter.cpp"]
+NATIVE_SOURCES = ["native/anchors.cpp", "native/posetfilter.cpp",
+                  "native/mea.cpp"]
 
 
 class build_py_with_native(build_py):

@@ -22,34 +22,7 @@ from cpecan_tpu.msa.aligner import filter_pairwise_alignment_to_make_pairs_order
 from cpecan_tpu.ops import pairs as pairs_mod
 
 
-def tracked_evolve(seq: str, rng: random.Random, sub_rate=0.1,
-                   indel_rate=0.02, max_indel=5):
-    """Evolve seq with substitutions and indels, returning (mutant,
-    true_pairs) where true_pairs is the exact set of (x, y) aligned
-    (possibly substituted) base pairs."""
-    out = []
-    true_pairs = []
-    y = 0
-    x = 0
-    n = len(seq)
-    while x < n:
-        r = rng.random()
-        if r < indel_rate:  # deletion: skip input bases
-            x += rng.randint(1, max_indel)
-            continue
-        if r < 2 * indel_rate:  # insertion: emit random bases
-            ins = rng.randint(1, max_indel)
-            out.extend(rng.choice("ACGT") for _ in range(ins))
-            y += ins
-            continue
-        c = seq[x]
-        if rng.random() < sub_rate:
-            c = rng.choice("ACGT")
-        out.append(c)
-        true_pairs.append((x, y))
-        x += 1
-        y += 1
-    return "".join(out), true_pairs
+from cpecan_tpu.utils.symbols import tracked_evolve  # planted-truth generator
 
 
 def _sens_spec(predicted, truth):

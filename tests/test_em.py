@@ -193,3 +193,53 @@ def test_modify_hmm(tmp_path):
     # gc normalisation followed by substitution convolution (row sums keep)
     row_marginals = out.emissions[0].sum(axis=1)
     np.testing.assert_allclose(row_marginals, [0.2, 0.3, 0.3, 0.2], atol=1e-9)
+
+
+def test_em_retries_transient_chunk_failure(tmp_path, monkeypatch):
+    """A transient device failure in one expectation chunk is retried
+    (the jobTree retried-Target analog) and the trained model matches the
+    failure-free run exactly — the scratch accumulator guarantees no
+    double counting."""
+    sequences, cigars = make_corpus(4, 40, seed=3)
+    options = EmOptions(modelType="fiveState", iterations=2, trials=1,
+                        trainEmissions=True, retryCount=2, seed=5)
+
+    clean = em_mod.expectation_maximisation(
+        sequences, cigars, str(tmp_path / "clean.txt"), options)
+
+    calls = {"n": 0}
+    real = em_mod.expectation_step
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient device failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(em_mod, "expectation_step", flaky)
+    monkeypatch.setattr("cpecan_tpu.utils.retry.time",
+                        type("T", (), {"sleep": staticmethod(lambda s: None)}))
+    flaky_model = em_mod.expectation_maximisation(
+        sequences, cigars, str(tmp_path / "flaky.txt"), options)
+
+    assert calls["n"] >= 2
+    np.testing.assert_array_equal(flaky_model.transitions, clean.transitions)
+    np.testing.assert_array_equal(flaky_model.emissions, clean.emissions)
+    assert flaky_model.likelihood == clean.likelihood
+
+
+def test_em_retry_exhaustion_raises(tmp_path, monkeypatch):
+    """When every retry fails the run fails loudly (no silent count loss)."""
+    sequences, cigars = make_corpus(2, 30, seed=4)
+    options = EmOptions(modelType="fiveState", iterations=1, trials=1,
+                        retryCount=1, seed=5)
+
+    def always_fail(*args, **kwargs):
+        raise RuntimeError("persistent failure")
+
+    monkeypatch.setattr(em_mod, "expectation_step", always_fail)
+    monkeypatch.setattr("cpecan_tpu.utils.retry.time",
+                        type("T", (), {"sleep": staticmethod(lambda s: None)}))
+    with pytest.raises(RuntimeError, match="persistent failure"):
+        em_mod.expectation_maximisation(
+            sequences, cigars, str(tmp_path / "m.txt"), options)

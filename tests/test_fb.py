@@ -169,3 +169,71 @@ class TestBanded:
         p1 = dense_posteriors(out1, band, len(x), len(y))
         p2 = dense_posteriors(out2, band, len(x), len(y))
         np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+class TestDebugChecks:
+    def test_debug_mode_passes_on_valid_input(self, monkeypatch):
+        """CPECAN_TPU_DEBUG=1 runs the checkify-instrumented engine; on a
+        healthy pair every device-side invariant holds and results match
+        the plain engine exactly."""
+        import random as _random
+
+        from cpecan_tpu.models.state_machine import state_machine5
+        from cpecan_tpu.ops import fb
+        from cpecan_tpu.ops.band import full_band, pad_band
+        from cpecan_tpu.utils.symbols import (encode, evolve_sequence,
+                                              get_random_sequence)
+        import jax.numpy as jnp
+
+        rng = _random.Random(2)
+        x = get_random_sequence(24, rng).upper()
+        y = evolve_sequence(x, rng).upper() or "ACGT"
+        P, W = 64, 32
+        band = full_band(len(x), len(y))
+        offsets, widths, L = pad_band(band, P, W)
+        sx = np.zeros(P, np.int32)
+        sy = np.zeros(P, np.int32)
+        sx[:len(x)] = encode(x)
+        sy[:len(y)] = encode(y)
+        params = state_machine5().device_params()
+        args = (params, jnp.asarray(sx), jnp.asarray(sy),
+                jnp.asarray(offsets), jnp.asarray(widths),
+                np.int32(len(x)), np.int32(len(y)), False, False)
+
+        plain = fb.fb_pass(*args, mode="posterior_match", width=W)
+        monkeypatch.setenv("CPECAN_TPU_DEBUG", "1")
+        checked = fb.fb_pass(*args, mode="posterior_match", width=W)
+        for k in plain:
+            np.testing.assert_allclose(np.asarray(checked[k]),
+                                       np.asarray(plain[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+
+    def test_debug_mode_catches_corrupt_params(self, monkeypatch):
+        """A deliberately broken model (NaN transition) trips the
+        device-side invariants instead of silently emitting garbage."""
+        import random as _random
+
+        from jax.experimental import checkify
+
+        from cpecan_tpu.models.state_machine import state_machine5
+        from cpecan_tpu.ops import fb
+        from cpecan_tpu.ops.band import full_band, pad_band
+        from cpecan_tpu.utils.symbols import encode, get_random_sequence
+        import jax.numpy as jnp
+
+        rng = _random.Random(3)
+        x = get_random_sequence(20, rng).upper()
+        P, W = 64, 32
+        band = full_band(len(x), len(x))
+        offsets, widths, L = pad_band(band, P, W)
+        sx = np.zeros(P, np.int32)
+        sx[:len(x)] = encode(x)
+        params = dict(state_machine5().device_params())
+        params["t"] = jnp.asarray(params["t"]).at[1, 0, 0].set(jnp.nan)
+
+        monkeypatch.setenv("CPECAN_TPU_DEBUG", "1")
+        with pytest.raises(checkify.JaxRuntimeError, match="fb debug"):
+            fb.fb_pass(params, jnp.asarray(sx), jnp.asarray(sx),
+                       jnp.asarray(offsets), jnp.asarray(widths),
+                       np.int32(len(x)), np.int32(len(x)), False, False,
+                       mode="posterior_match", width=W)

@@ -84,3 +84,36 @@ def test_lastz_subprocess_parity_mode(tmp_path, monkeypatch):
     # M 4 at (2,3) trimmed by 1 -> (3,4),(4,5); D 2 advances x only;
     # M 4 at (8,7) -> (9,8),(10,9); sorted by x+y
     assert got == [(3, 4, 6), (4, 5, 6), (9, 8, 6), (10, 9, 6)]
+
+
+def test_merge_colinear_runs():
+    """Same-diagonal chained runs merge into one match run spanning the
+    substitutions between them (the lastz M-run analog); diagonal changes
+    and over-long gaps break the merge."""
+    runs = np.array([
+        (10, 20, 5),    # diag -10
+        (18, 28, 6),    # diag -10, gap 3 -> merged
+        (30, 40, 4),    # diag -10, gap 6 -> merged
+        (40, 55, 5),    # diag -15 (indel) -> new run
+        (200, 215, 5),  # diag -15 but gap 155 > max -> new run
+    ], dtype=np.int64)
+    merged = anchors.merge_colinear_runs(runs, max_gap=64)
+    assert merged.tolist() == [[10, 20, 24], [40, 55, 5], [200, 215, 5]]
+
+
+def test_anchors_survive_default_trim_on_evolved_pair():
+    """On a genomic-like evolved pair the bridged runs are long enough to
+    survive the default constraintDiagonalTrim (14/side) — the regression
+    that left 10-50 kb pairs anchorless."""
+    import random as _random
+
+    from cpecan_tpu.config import PairwiseAlignmentParameters
+    from cpecan_tpu.utils.symbols import tracked_evolve
+
+    rng = _random.Random(9)
+    x = "".join(rng.choice("ACGT") for _ in range(4000))
+    y, _ = tracked_evolve(x, rng)
+    p = PairwiseAlignmentParameters()
+    assert p.constraintDiagonalTrim == 14
+    got = anchors.get_anchors(x, y, p)
+    assert len(got) > 200

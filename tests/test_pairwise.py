@@ -334,3 +334,42 @@ class TestReweighting:
             len(x), len(y), alignment) <= 100.001
         assert 0 <= pairs_mod.score_by_posterior_probability_ignoring_gaps(
             alignment) <= 100.001
+
+
+def test_native_mea_matches_python():
+    """The native MEA decoder (native/mea.cpp) is bit-compatible with the
+    Python loop on random posterior pair lists."""
+    import random as _random
+
+    from cpecan_tpu.align import native
+    from cpecan_tpu.ops import mea as mea_mod
+    from cpecan_tpu.ops.pairs import make_pairs
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = _random.Random(11)
+    for trial in range(20):
+        lx, ly = rng.randint(1, 40), rng.randint(1, 40)
+        pts = sorted({(rng.randrange(lx), rng.randrange(ly))
+                      for _ in range(rng.randint(0, 60))},
+                     key=lambda q: (q[0] + q[1], q[0]))
+        match = make_pairs([rng.randint(1, 10**7) for _ in pts],
+                           [q[0] for q in pts], [q[1] for q in pts])
+        gx = make_pairs([rng.randint(1, 10**6) for q in pts],
+                        [q[0] for q in pts], [q[1] for q in pts])
+        gy = gx.copy()
+        gamma = rng.choice([0.0, 0.5, 0.9])
+
+        cum_x = mea_mod._cumulative_gap_probs(gx, lx, True)
+        cum_y = mea_mod._cumulative_gap_probs(gy, ly, False)
+        probs = np.ascontiguousarray(match["prob"], np.int64)
+        xs = np.ascontiguousarray(match["x"], np.int64)
+        ys = np.ascontiguousarray(match["y"], np.int64)
+
+        idx_py, score_py = mea_mod._mea_core_python(
+            probs, xs, ys, cum_x, cum_y, lx, ly, gamma)
+        idx_c, score_c = native.mea_decode(
+            probs, xs, ys, cum_x, cum_y, lx, ly, gamma)
+        np.testing.assert_array_equal(idx_c, idx_py)
+        assert score_c == score_py
