@@ -50,20 +50,25 @@ def main(argv=None, stdout=None) -> int:
     targets = read_fasta_by_first_token(args.fasta_target)
     queries = read_fasta_by_first_token(args.fasta_query)
 
-    # all query x target pairs in cross-pair device batches
-    meta = []
-    jobs = []
-    for query_header, query_seq in queries.items():
-        for target_header, target_seq in targets.items():
-            anchors = get_anchors(target_seq, query_seq, p)
-            meta.append((query_header, query_seq, target_header, target_seq))
-            jobs.append((target_seq, query_seq, anchors, True, True))
+    # all query x target pairs in cross-pair device batches; the next
+    # group's anchoring (the heavy host stage here) runs on a worker
+    # thread while the current group's device batch executes
+    from cpecan_tpu.utils.pipeline import prefetch_map
 
-    for group_start in range(0, len(jobs), args.batchPairs):
-        chunk = slice(group_start, group_start + args.batchPairs)
-        results = batch_align.get_aligned_pairs_batch(sm, jobs[chunk], p)
+    pairs_meta = [(qh, qs, th, ts)
+                  for qh, qs in queries.items()
+                  for th, ts in targets.items()]
+    groups = [pairs_meta[s:s + args.batchPairs]
+              for s in range(0, len(pairs_meta), args.batchPairs)]
+
+    def anchor_group(group):
+        return [(ts, qs, get_anchors(ts, qs, p), True, True)
+                for qh, qs, th, ts in group]
+
+    for group, jobs in zip(groups, prefetch_map(anchor_group, groups)):
+        results = batch_align.get_aligned_pairs_batch(sm, jobs, p)
         for (query_header, query_seq, target_header, target_seq), aligned \
-                in zip(meta[chunk], results):
+                in zip(group, results):
             aligned = pairs_mod.reweight_aligned_pairs(
                 aligned, len(target_seq), len(query_seq), p.gapGamma)
             aligned = filter_pairwise_alignment_to_make_pairs_ordered(

@@ -317,9 +317,13 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         if group:
             yield group
 
-    for group in batches(cigar_io.cigar_read(stdin), max(args.batchPairs, 1)):
-        prepared = [prepare(pa) for pa in group]
+    # prepare group i+1 on a worker thread while group i's device batch
+    # runs (jax releases the GIL during XLA execution; utils/pipeline.py)
+    from cpecan_tpu.utils.pipeline import prefetch_map
 
+    for prepared in prefetch_map(
+            lambda group: [prepare(pa) for pa in group],
+            batches(cigar_io.cigar_read(stdin), max(args.batchPairs, 1))):
         if hmm_expectations is not None:
             # bucketed cross-record batches (em.expectation_step), not
             # per-record single-pair device calls — this CLI mode is the
