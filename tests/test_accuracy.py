@@ -107,3 +107,36 @@ def test_posterior_decode_recovers_planted_alignment(seed):
     sens2, spec2 = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
     assert sens2 > 0.85, f"poset-filter sensitivity {sens2:.3f}"
     assert spec2 > 0.90, f"poset-filter specificity {spec2:.3f}"
+
+
+@pytest.mark.slow
+def test_long_pair_200kb_streaming_accuracy(monkeypatch):
+    """Long-test analog at 200 kb (reference pairwiseAlignerLongTest.c
+    runs ~0.5 Mb ENCODE pairs): a genomic-like planted pair long enough
+    that the checkpointed streaming engine carries the banded FB in fixed
+    memory — anchoring, banding, the streaming decision and the sparse
+    posterior emission all fire together; sensitivity/specificity are
+    asserted (the reference only logged them)."""
+    from cpecan_tpu.ops import fb_streaming
+    from cpecan_tpu.utils import metrics
+    from cpecan_tpu.utils.symbols import tracked_evolve
+
+    rng = random.Random(12)
+    n = 200_000
+    seq_x = "".join(rng.choice("ACGT") for _ in range(n))
+    seq_y, truth = tracked_evolve(seq_x, rng)
+
+    # a tight budget guarantees the streaming route even if defaults grow
+    monkeypatch.setenv("CPECAN_TPU_STREAM_BUDGET", str(64 << 20))
+
+    sm = state_machine5()
+    p = PairwiseAlignmentParameters()
+    metrics.reset()
+    pairs = get_aligned_pairs(sm, seq_x, seq_y, p)
+    assert metrics.snapshot()["counters"].get("streamed_chunks", 0) > 0
+
+    ordered = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs_mod.sort_pairs(pairs), seq_x, seq_y, 0.9)
+    sens, spec = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
+    assert sens > 0.90, f"sensitivity {sens:.3f}"
+    assert spec > 0.90, f"specificity {spec:.3f}"
