@@ -112,18 +112,33 @@ def nonzero_transitions(t_log: np.ndarray):
 
 
 def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
-                f0_ref, fout_ref, bv_ref, mf_ref,
-                f1_s, f2_s, invm_s, *, S, nz, chunk):
+                f0_ref, ci2_ref, cim_ref, fout_ref, bv_ref, mf_ref,
+                co1_ref, co2_ref, com_ref,
+                f1_s, f2_s, invm_s, *, S, nz, chunk, fresh=True):
+    """Forward wavefront over one pair group.
+
+    fresh=True (batch path / first segment): f0_ref is the diagonal-0
+    start row F0; row 0 of the outputs is written directly from it and
+    the recursion starts at row 1 (ci2/cim unused, pass None).
+    fresh=False (interior segment, ops/fb_segmented.py): (f0, ci2, cim)
+    are the carried (F_{k0-1}, F_{k0-2}, 1/m_{k0-1}) and every row is a
+    computed diagonal. co1/co2/com (optional) receive the final carry on
+    the group's last grid step so the next segment can continue exactly.
+    """
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         f1_s[...] = f0_ref[0]
-        f2_s[...] = jnp.zeros_like(f2_s)
-        invm_s[...] = jnp.ones_like(invm_s)
-        fout_ref[0, 0] = f0_ref[0]
-        bv_ref[0, 0] = jnp.zeros_like(bv_ref[0, 0])
-        mf_ref[0, 0] = jnp.zeros_like(mf_ref[0, 0])
+        if fresh:
+            f2_s[...] = jnp.zeros_like(f2_s)
+            invm_s[...] = jnp.ones_like(invm_s)
+            fout_ref[0, 0] = f0_ref[0]
+            bv_ref[0, 0] = jnp.zeros_like(bv_ref[0, 0])
+            mf_ref[0, 0] = jnp.zeros_like(mf_ref[0, 0])
+        else:
+            f2_s[...] = ci2_ref[0]
+            invm_s[...] = cim_ref[0]
 
     xs_rows = sorted({f for cl, f, t in nz if cl == 0})
     ys_rows = sorted({f for cl, f, t in nz if cl == 2})
@@ -187,12 +202,20 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
     # sequential grid steps. Row 0 of chunk 0 is the precomputed F0.
     init = (tuple(f1_s[f] for f in range(S)),
             tuple(f2_s[f] for f in range(S)), invm_s[...])
-    lo = jnp.where(c == 0, 1, 0)
+    lo = jnp.where(c == 0, 1, 0) if fresh else 0
     F1c, F2c, invmc = jax.lax.fori_loop(lo, chunk, body, init)
     for t in range(S):
         f1_s[t] = F1c[t]
         f2_s[t] = F2c[t]
     invm_s[...] = invmc
+
+    if co1_ref is not None:
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _():
+            for t in range(S):
+                co1_ref[0, t] = F1c[t]
+                co2_ref[0, t] = F2c[t]
+            com_ref[0] = invmc
 
 
 # ---------------------------------------------------------------------------
@@ -202,18 +225,35 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
 
 def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
                 abw_ref, c1_ref, c0_ref, bm1_ref, bm0_ref, pm_ref, end_ref,
-                post_m_ref, post_x_ref, post_y_ref,
+                bci_refs, post_m_ref, post_x_ref, post_y_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s,
                 *, S, nz, chunk, mode):
+    """Backward+posterior wavefront (high-to-low over grid steps).
+
+    bci_refs: optional (bi1, bi2, bii, biem, bibv) carry-in refs holding
+    (B_{k1}, B_{k1+1}, 1/mb_{k1}, em_{k1}, bridgevec_{k1}) of the row just
+    ABOVE this segment — None for the batch path / the final segment
+    (zero/identity init, the recursion's natural start past row L).
+    bco_refs: optional matching carry-out refs, written on the group's
+    last grid step (the segment's LOWEST row) for the next-lower segment.
+    """
     cr = pl.program_id(1)
 
     @pl.when(cr == 0)
     def _():
-        b1_s[...] = jnp.zeros_like(b1_s)
-        b2_s[...] = jnp.zeros_like(b2_s)
-        invb_s[...] = jnp.ones_like(invb_s)
-        emn_s[...] = jnp.zeros_like(emn_s)
-        bvn_s[...] = jnp.zeros_like(bvn_s)
+        if bci_refs is None:
+            b1_s[...] = jnp.zeros_like(b1_s)
+            b2_s[...] = jnp.zeros_like(b2_s)
+            invb_s[...] = jnp.ones_like(invb_s)
+            emn_s[...] = jnp.zeros_like(emn_s)
+            bvn_s[...] = jnp.zeros_like(bvn_s)
+        else:
+            bi1, bi2, bii, biem, bibv = bci_refs
+            b1_s[...] = bi1[0]
+            b2_s[...] = bi2[0]
+            invb_s[...] = bii[0]
+            emn_s[...] = biem[0]
+            bvn_s[...] = bibv[0]
 
     x_targets = sorted({t for cl, f, t in nz if cl == 0})
     y_targets = sorted({t for cl, f, t in nz if cl == 2})
@@ -301,6 +341,18 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
     invb_s[...] = invbc
     emn_s[...] = emnc
     bvn_s[...] = bvnc
+
+    if bco_refs is not None:
+        bo1, bo2, boi, boem, bobv = bco_refs
+
+        @pl.when(cr == pl.num_programs(1) - 1)
+        def _():
+            for t in range(S):
+                bo1[0, t] = B1c[t]
+                bo2[0, t] = B2c[t]
+            boi[0] = invbc
+            boem[0] = emnc
+            bobv[0] = bvnc
 
 
 # ---------------------------------------------------------------------------
@@ -667,8 +719,13 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             pltpu.VMEM((G, 1), jnp.float32),  # 1/m_{k-1}
         ],
     )
+    def _fwd_wrapper(*refs):
+        ins, outs, scr = refs[:8], refs[8:11], refs[11:]
+        _fwd_kernel(*ins, None, None, *outs, None, None, None, *scr,
+                    S=S, nz=nz, chunk=CHUNK_, fresh=True)
+
     F_all, bridgevec, mf = pl.pallas_call(
-        functools.partial(_fwd_kernel, S=S, nz=nz, chunk=CHUNK_),
+        _fwd_wrapper,
         grid_spec=fwd_grid,
         out_shape=[
             jax.ShapeDtypeStruct((NG, rows, S, G, W), jnp.float32),
