@@ -879,7 +879,8 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         scr = refs[14 + n_out:]
         if n_out == 1:
             outs = (outs[0], None, None)
-        _bwd_kernel(*ins, *outs, *scr, S=S, nz=nz, chunk=CHUNK_, mode=mode)
+        _bwd_kernel(*ins, None, *outs, None, *scr,
+                    S=S, nz=nz, chunk=CHUNK_, mode=mode)
 
     posts = pl.pallas_call(
         bwd_wrapper,
