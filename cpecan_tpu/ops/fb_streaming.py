@@ -53,6 +53,10 @@ from cpecan_tpu.ops import fb as _fb
 # would exceed this budget.
 _DEFAULT_BUDGET = 1 << 30
 
+# Engine used by the most recent fb_pass_streaming call ("scan" or
+# "wavefront"), for tests/telemetry.
+LAST_ENGINE: str | None = None
+
 
 def stream_budget_bytes() -> int:
     return int(os.environ.get("CPECAN_TPU_STREAM_BUDGET", _DEFAULT_BUDGET))
@@ -216,12 +220,17 @@ def fb_pass_streaming(params, seq_x_codes, seq_y_codes,
                       offsets: np.ndarray, widths: np.ndarray,
                       lx: int, ly: int, ragged_left: bool,
                       ragged_right: bool, mode: str, width: int,
-                      window: int, threshold: float = 0.0):
+                      window: int, threshold: float = 0.0,
+                      engine: str | None = None):
     """Streaming banded FB for ONE long pair.
 
     seq_*_codes: int symbol arrays of the true lengths (no padding).
     offsets/widths: UNPADDED band tensors (length lx+ly+1).
     window: diagonals per checkpoint window (window_rows(p)).
+    engine: "scan" | "wavefront" | None (auto: the segmented Pallas
+      engine, ops/fb_segmented.py, on a TPU backend for its supported
+      modes; this scan engine otherwise). Env override:
+      CPECAN_TPU_STREAM_ENGINE.
 
     Returns a dict:
       "log_fwd": float raw end-dot log at L (host f64 recombination adds
@@ -233,6 +242,21 @@ def fb_pass_streaming(params, seq_x_codes, seq_y_codes,
         concatenated; "xoff": the frame offsets for (k, j) -> (x, y);
       expectation: "trans" (S,S), "emis" (S,4,4) float64 counts.
     """
+    global LAST_ENGINE
+    if engine is None:
+        engine = os.environ.get("CPECAN_TPU_STREAM_ENGINE", "auto")
+    if engine != "scan":
+        from cpecan_tpu.ops import fb_segmented
+
+        if fb_segmented.supported(mode) and (
+                engine == "wavefront" or jax.default_backend() == "tpu"):
+            LAST_ENGINE = "wavefront"
+            return fb_segmented.fb_pass_segmented(
+                params, seq_x_codes, seq_y_codes, offsets, widths, lx, ly,
+                ragged_left, ragged_right, mode, width, window,
+                threshold=threshold)
+    LAST_ENGINE = "scan"
+
     L = int(lx) + int(ly)
     if L == 0:
         raise ValueError("empty pair")

@@ -225,7 +225,8 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
 
 def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
                 abw_ref, c1_ref, c0_ref, bm1_ref, bm0_ref, pm_ref, end_ref,
-                bci_refs, post_m_ref, post_x_ref, post_y_ref, bco_refs,
+                bci_refs, post_m_ref, post_x_ref, post_y_ref,
+                mb_ref, tot_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s,
                 *, S, nz, chunk, mode):
     """Backward+posterior wavefront (high-to-low over grid steps).
@@ -318,6 +319,9 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
         total = dot + bridge * r * bvalid
         tot_ok = (total > 0).astype(jnp.float32)
         invt = tot_ok / (total + (1.0 - tot_ok))
+
+        mb_ref[0, ii] = jnp.log(m)
+        tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
 
         post_m_ref[0, ii] = jnp.where(
             (pm & _PM_MATCH) != 0, F_row[0] * B_new[0] * invt, 0.0)
@@ -863,7 +867,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
                          memory_space=vmem),  # end rows
         ],
-        out_specs=[rrow_spec((W,))] * n_out,
+        out_specs=[rrow_spec((W,))] * n_out + [rrow_spec((1,))] * 2,
         scratch_shapes=[
             pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+1}
             pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+2}
@@ -875,21 +879,27 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
 
     def bwd_wrapper(*refs):
         ins = refs[:14]
-        outs = refs[14:14 + n_out]
-        scr = refs[14 + n_out:]
+        posts_ = refs[14:14 + n_out]
+        mbr, totr = refs[14 + n_out:16 + n_out]
+        scr = refs[16 + n_out:]
         if n_out == 1:
-            outs = (outs[0], None, None)
-        _bwd_kernel(*ins, None, *outs, None, *scr,
+            posts_ = (posts_[0], None, None)
+        _bwd_kernel(*ins, None, *posts_, mbr, totr, None, *scr,
                     S=S, nz=nz, chunk=CHUNK_, mode=mode)
 
-    posts = pl.pallas_call(
+    *posts, mb_o, tot_o = pl.pallas_call(
         bwd_wrapper,
         grid_spec=bwd_grid,
-        out_shape=[jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32)] * n_out
+        + [jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32)] * 2,
         **kp,
     )(t_prob, efx, efy, efm, em, F_all, bridgevec,
       abw, c1, c0, bm1, bm0, pm, end_row)
 
+    uncol = lambda arr: jnp.transpose(arr[..., 0], (0, 2, 1)).reshape(
+        NB, rows)[:B, :P + 1]
+    out["mb"] = uncol(mb_o)
+    out["total_raw"] = uncol(tot_o)
     unrow = lambda arr: jnp.transpose(arr, (0, 2, 1, 3)).reshape(
         NB, rows, W)[:B, :P + 1]
     out["post_match"] = unrow(posts[0])
