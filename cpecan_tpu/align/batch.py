@@ -118,10 +118,13 @@ def _run_streaming_task(params, t, band, p, mode, keys):
     """One long pair chunk through the checkpointed streaming engine
     (ops/fb_streaming.py) — fixed memory for arbitrarily long chunks."""
     W = _width_bucket(band.frame_width())
+    from cpecan_tpu.ops import fb_parallel
+
     out = fb_streaming.fb_pass_streaming(
         params, encode(t.sub_x), encode(t.sub_y), band.offsets, band.widths,
         len(t.sub_x), len(t.sub_y), t.ragged_left, t.ragged_right,
-        mode, W, fb_streaming.window_rows(p), threshold=p.threshold)
+        mode, W, fb_streaming.window_rows(p), threshold=p.threshold,
+        burnin=fb_parallel.burnin_rows(p))
     metrics.add("dp_cells", int(band.widths.sum()))
     metrics.add("streamed_chunks", 1)
     L = band.diagonal_number

@@ -76,7 +76,8 @@ def _select_shift(arr, amount):
         jnp.where(amount == 1, _shift_left(arr), _shift_right(arr)))
 
 
-def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None):
+def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None,
+                         pad_off=None):
     """Per-diagonal symbol windows via a feather-weight int8 scan.
 
     Exploits the monotone x-frame: the x-window start advances by
@@ -89,13 +90,17 @@ def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None):
 
     ks: absolute diagonal indices of the rows (default arange) — lets the
     streaming engine compute windows for an interior diagonal range.
+    pad_off: the sentinel padding length actually prepended to
+    sx_pad/sy_pad (default W+1) — pass it when the arrays were padded
+    for a different window width.
 
     Returns (wx, wy), each (P+1, W+1) int8:
       wx[k, j]   = sx_pad[xoff[k] - 1 + j + pad]   (x-1 at j, x at j+1)
       wy[k, j]   = sy_pad[LY - k + xoff[k] - 1 + j + pad]  (y at j, y-1 at j+1)
     """
     P = xoff.shape[0] - 1
-    pad_off = W + 1
+    if pad_off is None:
+        pad_off = W + 1
     if ks is None:
         ks = jnp.arange(P + 1, dtype=jnp.int32)
     row_x0 = jax.lax.dynamic_slice(sx_pad, (xoff[0] - 1 + pad_off,), (W + 1,))

@@ -1,0 +1,435 @@
+"""Wavefront-parallel posterior decoding of ONE long banded pair.
+
+The sequential engines (ops/fb_streaming.py, ops/fb_segmented.py) walk a
+single pair's anti-diagonals one after another — on TPU that leaves the
+vector unit latency-bound at ~1 us per diagonal regardless of band
+width, because a lone pair occupies one sublane slot of the wavefront
+kernels. This module restores the full chip for single long pairs by
+cutting the diagonal range into WINDOWS and running them CONCURRENTLY
+as the kernels' pair-group (sublane) dimension, each window preceded /
+followed by a BURN-IN halo:
+
+  * forward: window w computes rows [k0-B, k0+K+B) starting from a
+    neutral (uniform in-band) state two rows before its range; after ~B
+    rows the normalized forward vector has forgotten the neutral start
+    (the pair-HMM state chain mixes geometrically).
+  * backward: the same range walked high-to-low from a neutral state —
+    except windows whose range reaches past the final diagonal L, which
+    seed exactly from the end distribution and are therefore exact.
+  * posteriors are emitted only for the window's own rows [k0, k0+K);
+    the halo rows exist purely to converge the state.
+
+This is the reference's own approximation: cPecan seeds a FRESH
+backward matrix at every traceback point and trusts it after
+`traceBackDiagonals` burn-in diagonals (getPosteriorProbsWithBanding,
+impl/pairwiseAligner.c:797-817) — here applied symmetrically to both
+directions so that ALL windows run in parallel, which the sequential C
+design cannot do. The burn-in defaults to a multiple of that same
+parameter. Boundary error decays geometrically in the burn-in length;
+tests assert posterior parity vs the exact engine at the production
+threshold (tests/test_parallel.py).
+
+Per-diagonal log-scales are window-local in this mode, so global
+quantities (log_fwd, mf/mb streams, EM counts) are NOT produced — use
+the exact engines for those. Production decode paths only consume
+thresholded posterior entries, which is what this returns.
+
+Host-link discipline matches ops/fb_segmented.py: windows are sliced
+into group batches under an HBM budget, every slice's entries are
+compacted on device, and one batched device_get fetches everything.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpecan_tpu.ops import compact
+from cpecan_tpu.ops import fb as _fb
+from cpecan_tpu.ops import fb_wavefront as _wf
+from cpecan_tpu.ops.fb_streaming import _host_frame, _pad_frame
+
+# Emission rows per window: small enough to expose ~100+ windows on a
+# 50 kb pair, large enough that the 2*burnin halo stays a minor fraction.
+WINDOW_ROWS = 512
+
+# HBM budget for one slice's forward block (windows are independent, so
+# slices just bound peak memory).
+_F_BUDGET = 1 << 30
+
+
+def supported(mode: str) -> bool:
+    return mode in ("posterior_match", "posterior_all")
+
+
+def burnin_rows(p) -> int:
+    """Burn-in halo rows from the live config: the reference trusts a
+    freshly-seeded backward matrix after traceBackDiagonals diagonals
+    (impl/pairwiseAligner.c:797-817). The slowest-mixing direction is a
+    long-gap state (extension prob ~0.99, memory ~100 rows), so use 4x
+    the reference's margin with a 128-row floor — boundary posterior
+    error stays within the ~1e-2 wobble the reference's own seeding
+    accepts, at ~25% halo overhead on the default window."""
+    return max(4 * int(p.traceBackDiagonals), 128)
+
+
+def _neutral_row(jlo_row, jhi_row, S, W):
+    """Uniform in-band (S, W) state — the burn-in start."""
+    js = jnp.arange(W, dtype=jnp.int32)
+    ok = ((js >= jlo_row) & (js <= jhi_row)).astype(jnp.float32)
+    return jnp.broadcast_to(ok[None, :], (S, W))
+
+
+def _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
+              s, k0, K, LY, L, Kp, W, pad_off):
+    """Streams for one window's rows [s, s+Kp); posterior emission is
+    masked to the window's own rows [k0, k0+K)."""
+    prob = _fb._prob_params(params)
+    sl = lambda a, off=0: jax.lax.dynamic_slice(a, (s + off,), (Kp,))
+    xoff = sl(xoff_g)
+    delta = sl(delta_g)
+    d_km1 = sl(delta_g, -1)
+    d1 = sl(delta_g, 1)
+    d2 = sl(delta_g, 2)
+    jlo = sl(jlo_g)
+    jhi = sl(jhi_g)
+    ks = s + jnp.arange(Kp, dtype=jnp.int32)
+    wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W,
+                                      ks=ks, pad_off=pad_off)
+    e_x, e_y, e_m = _fb._emissions(prob, wx[:, :W], wy[:, 1:])
+    ef_x, ef_y, ef_m = _fb._emissions(prob, wx[:, 1:], wy[:, :W])
+
+    js = jnp.arange(W, dtype=jnp.int32)
+    slot_ok = ((js[None, :] >= jlo[:, None])
+               & (js[None, :] <= jhi[:, None]))
+    fm = slot_ok.astype(jnp.float32)
+
+    dmid = delta + d_km1 - 1
+    dsum2 = d1 + d2
+    dmid1 = d1 + delta - 1
+    i8 = lambda cond: jnp.broadcast_to(
+        cond[:, None], (Kp, W)).astype(jnp.int8)
+
+    xs = xoff[:, None] + js[None, :]
+    ys = ks[:, None] - xs
+    emit = ((ks >= k0) & (ks < k0 + K) & (ks >= 1) & (ks <= L))[:, None]
+    pm = (jnp.where(emit & slot_ok & (xs > 0) & (ys > 0), _wf._PM_MATCH, 0)
+          | jnp.where(emit & slot_ok & (xs > 0), _wf._PM_GAPX, 0)
+          | jnp.where(emit & slot_ok & (ys > 0), _wf._PM_GAPY, 0)
+          | jnp.where((ks == L)[:, None], _wf._PM_ATEND, 0)
+          | jnp.where(((ks >= 1) & (ks < L))[:, None], _wf._PM_BRIDGE, 0))
+
+    return dict(
+        ex=e_x * fm, ey=e_y * fm, em=e_m * fm,
+        efx=ef_x * fm, efy=ef_y * fm, efm=ef_m * fm,
+        a=i8(delta == 1), b1=i8(dmid == 1), b0=i8(dmid == 0),
+        abw=i8(d1 == 1), c1=i8(dsum2 == 2), c0=i8(dsum2 == 1),
+        bm1=i8(dmid1 == 1), bm0=i8(dmid1 == 0), pm=pm.astype(jnp.int8))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "nz", "K", "Kp", "W", "chunk", "group", "mode",
+                     "interpret", "cap", "exact"))
+def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
+                   s_arr, k0_arr, LY, L, ragged_left, ragged_right, thr,
+                   S, nz, K, Kp, W, chunk, group, mode, interpret, cap,
+                   exact=False):
+    """One slice of windows through the wavefront kernels, grouped on the
+    sublane dimension. Returns compacted >= thr posterior entries per key
+    plus per-key overflow counts (exact=True switches to the sort-based
+    compaction escalation path, see ops/compact.py)."""
+    nWs = s_arr.shape[0]
+    G = group
+    NG = nWs // G
+    NC = Kp // chunk
+    prob = _fb._prob_params(params)
+    t_prob = jnp.exp(params["t"]).reshape(3 * S, S)
+
+    pre = jax.vmap(
+        lambda s, k0: _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g,
+                                jlo_g, jhi_g, s, k0, K, LY, L, Kp, W,
+                                pad_off=W + 1)
+    )(s_arr, k0_arr)
+
+    # per-window carries: exact start for the window at row 1, neutral
+    # uniform in-band two rows before the range otherwise
+    start_vec = jnp.where(ragged_left, prob["ragged_start"], prob["start"])
+    F0 = jnp.zeros((S, W), jnp.float32).at[:, 0].set(start_vec)
+    F0 = F0 / jnp.maximum(jnp.max(F0), 1e-30)
+
+    def fwd_carry(s):
+        exact = s == 1
+        i2 = jnp.maximum(s - 2, 0)
+        n1 = _neutral_row(jlo_g[s - 1], jhi_g[s - 1], S, W)
+        n2 = _neutral_row(jlo_g[i2], jhi_g[i2], S, W)
+        f1 = jnp.where(exact, F0, n1)
+        f2 = jnp.where(exact, jnp.zeros_like(F0), n2)
+        return f1, f2, jnp.ones((1,), jnp.float32)
+
+    f1, f2, invm = jax.vmap(fwd_carry)(s_arr)
+
+    def bwd_carry(s):
+        top = s + Kp  # first row ABOVE the range
+        natural = top > L  # range reaches past L: exact end seeding
+        b1 = jnp.where(natural, 0.0, 1.0) * _neutral_row(
+            jlo_g[jnp.minimum(top, jlo_g.shape[0] - 1)],
+            jhi_g[jnp.minimum(top, jhi_g.shape[0] - 1)], S, W)
+        b2 = jnp.where(natural, 0.0, 1.0) * _neutral_row(
+            jlo_g[jnp.minimum(top + 1, jlo_g.shape[0] - 1)],
+            jhi_g[jnp.minimum(top + 1, jhi_g.shape[0] - 1)], S, W)
+        return b1, b2, jnp.ones((1,), jnp.float32)
+
+    b1c, b2c, invb = jax.vmap(bwd_carry)(s_arr)
+
+    end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
+    jsW = jnp.arange(W, dtype=jnp.int32)
+    sokL = ((jsW >= jlo_g[L]) & (jsW <= jhi_g[L])).astype(jnp.float32)
+    end_row_one = end_vec[:, None] * sokL[None, :]
+    end_row = jnp.broadcast_to(end_row_one[None], (nWs, S, W))
+
+    def grp_row(arr):  # (nWs, Kp, [W]) -> (NG, Kp, G, [W])
+        return jnp.transpose(
+            arr.reshape((NG, G) + arr.shape[1:]),
+            (0, 2, 1) + tuple(range(3, arr.ndim + 1)))
+
+    def grp_state(arr):  # (nWs, S, W) -> (NG, S, G, W)
+        return jnp.transpose(arr.reshape(NG, G, S, W), (0, 2, 1, 3))
+
+    vmem = pltpu.VMEM
+    row_spec = lambda last: pl.BlockSpec(
+        (1, chunk, G) + last, lambda g, c: (g, c, 0) + (0,) * len(last),
+        memory_space=vmem)
+    state_spec = pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+                              memory_space=vmem)
+    col_spec = pl.BlockSpec((1, G, 1), lambda g, c: (g, 0, 0),
+                            memory_space=vmem)
+
+    fwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NG, NC),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [row_spec((W,))] * 6 + [state_spec, state_spec, col_spec],
+        out_specs=[
+            pl.BlockSpec((1, chunk, S, G, W),
+                         lambda g, c: (g, c, 0, 0, 0), memory_space=vmem),
+            row_spec((W,)), row_spec((1,)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, G, W), jnp.float32),
+            pltpu.VMEM((S, G, W), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+        ],
+    )
+
+    def fwd_wrapper(*refs):
+        ins = refs[:10]
+        outs = refs[10:13]
+        scr = refs[13:]
+        _wf._fwd_kernel(*ins, *outs, None, None, None, *scr,
+                        S=S, nz=nz, chunk=chunk, fresh=False)
+
+    F_all, bv, _mf = pl.pallas_call(
+        fwd_wrapper,
+        grid_spec=fwd_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((NG, Kp, S, G, W), jnp.float32),
+            jax.ShapeDtypeStruct((NG, Kp, G, W), jnp.float32),
+            jax.ShapeDtypeStruct((NG, Kp, G, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(t_prob, grp_row(pre["ex"]), grp_row(pre["ey"]), grp_row(pre["em"]),
+      grp_row(pre["a"]), grp_row(pre["b1"]), grp_row(pre["b0"]),
+      grp_state(f1), grp_state(f2), invm.reshape(NG, G, 1))
+
+    n_out = 3 if mode == "posterior_all" else 1
+    rrow = lambda last: pl.BlockSpec(
+        (1, chunk, G) + last,
+        lambda g, c: (g, NC - 1 - c, 0) + (0,) * len(last),
+        memory_space=vmem)
+    bwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NG, NC),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [rrow((W,))] * 4
+        + [pl.BlockSpec((1, chunk, S, G, W),
+                        lambda g, c: (g, NC - 1 - c, 0, 0, 0),
+                        memory_space=vmem)]
+        + [rrow((W,))] * 7
+        + [state_spec]  # end rows
+        + [state_spec, state_spec, col_spec,
+           pl.BlockSpec((1, G, W), lambda g, c: (g, 0, 0),
+                        memory_space=vmem),
+           pl.BlockSpec((1, G, W), lambda g, c: (g, 0, 0),
+                        memory_space=vmem)],
+        out_specs=[rrow((W,))] * n_out + [rrow((1,))] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((S, G, W), jnp.float32),
+            pltpu.VMEM((S, G, W), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, W), jnp.float32),
+            pltpu.VMEM((G, W), jnp.float32),
+        ],
+    )
+
+    def bwd_wrapper(*refs):
+        ins = refs[:14]
+        bci = refs[14:19]
+        posts_ = refs[19:19 + n_out]
+        mbr, totr = refs[19 + n_out:21 + n_out]
+        scr = refs[21 + n_out:]
+        if n_out == 1:
+            posts_ = (posts_[0], None, None)
+        _wf._bwd_kernel(*ins, tuple(bci), *posts_, mbr, totr, None,
+                        *scr, S=S, nz=nz, chunk=chunk, mode=mode)
+
+    outs = pl.pallas_call(
+        bwd_wrapper,
+        grid_spec=bwd_grid,
+        out_shape=[jax.ShapeDtypeStruct((NG, Kp, G, W), jnp.float32)] * n_out
+        + [jax.ShapeDtypeStruct((NG, Kp, G, 1), jnp.float32)] * 2,
+        interpret=interpret,
+    )(t_prob, grp_row(pre["efx"]), grp_row(pre["efy"]), grp_row(pre["efm"]),
+      grp_row(pre["em"]), F_all, bv,
+      grp_row(pre["abw"]), grp_row(pre["c1"]), grp_row(pre["c0"]),
+      grp_row(pre["bm1"]), grp_row(pre["bm0"]), grp_row(pre["pm"]),
+      grp_state(end_row),
+      grp_state(b1c), grp_state(b2c), invb.reshape(NG, G, 1),
+      jnp.zeros((NG, G, W), jnp.float32),
+      jnp.zeros((NG, G, W), jnp.float32))
+
+    out = {}
+    keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
+    for k, arr in zip(keys, outs[:n_out]):
+        # (NG, Kp, G, W) -> (nWs, Kp, W) window-major
+        win = jnp.transpose(arr, (0, 2, 1, 3)).reshape(nWs * Kp, W)
+        if exact:
+            idx, vals, count = compact.compact_rows_exact(win, thr, cap)
+            out[k] = (idx, vals, count, count)
+        else:
+            out[k] = compact.compact_rows(win, thr, cap)
+    return out
+
+
+def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
+                     offsets: np.ndarray, widths: np.ndarray,
+                     lx: int, ly: int, ragged_left: bool,
+                     ragged_right: bool, mode: str, width: int,
+                     burnin: int, threshold: float,
+                     window: int = 0, interpret: bool | None = None):
+    """Burn-in-parallel banded posterior decode for ONE long pair.
+
+    Args as fb_streaming.fb_pass_streaming; `burnin` is the halo length
+    (burnin_rows(p)). Returns {"post_entries": {key: (vals, ks, js)},
+    "xoff", "windows"} — no global scale streams (see module doc).
+    """
+    if not supported(mode):
+        raise ValueError(f"parallel engine does not support mode={mode!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nz = _wf.nonzero_transitions(jax.device_get(params["t"]))
+    S = int(params["start"].shape[0])
+    W = int(width)
+    K = int(window) if window else WINDOW_ROWS
+    L = int(lx) + int(ly)
+    if L == 0:
+        raise ValueError("empty pair")
+    B = -(-max(int(burnin), 8) // 8) * 8
+    K = max(K, B)
+
+    nW = -(-L // K)
+    rows_total = 1 + nW * K
+
+    group, chunk = _wf.pick_tiles(nW, W, K + 2 * B, S, mode)
+    Kp = -(-(K + 2 * B) // chunk) * chunk
+
+    xoff, delta, jlo, jhi = _host_frame(np.asarray(offsets),
+                                        np.asarray(widths))
+    xoff, delta, jlo, jhi = _pad_frame(xoff, delta, jlo, jhi,
+                                       rows_total + Kp)
+
+    sx = np.asarray(seq_x_codes, np.int8)
+    sy = np.asarray(seq_y_codes, np.int8)
+    pad = np.full(W + 1, _fb._SENTINEL, np.int8)
+    sx_pad = jnp.asarray(np.concatenate([pad, sx, pad]))
+    sy_pad = jnp.asarray(np.concatenate([pad, sy[::-1], pad]))
+    LY = int(ly)
+
+    dev = jnp.asarray
+    xoff_d, delta_d = dev(xoff), dev(delta)
+    jlo_d, jhi_d = dev(jlo), dev(jhi)
+
+    k0s = 1 + K * np.arange(nW, dtype=np.int32)
+    ss = np.maximum(k0s - B, 1).astype(np.int32)
+    # pad the window list to a multiple of the group; pad windows emit
+    # nothing (their emission range sits beyond L on empty band rows)
+    nWp = -(-nW // group) * group
+    if nWp > nW:
+        padk = np.full(nWp - nW, rows_total, np.int32)
+        k0s = np.concatenate([k0s, padk])
+        ss = np.concatenate([ss, padk])
+
+    # slice the window list so one slice's F block fits the budget
+    per_win = Kp * S * W * 4
+    wmax = max(group, (_F_BUDGET // per_win) // group * group)
+
+    thr = max(float(threshold), 1e-9)
+    n_out = 3 if mode == "posterior_all" else 1
+    cap_env = os.environ.get("CPECAN_TPU_PAR_CAP")
+    keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
+
+    def launch(lo, hi, cap, exact=False):
+        return _par_slice_jit(
+            params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
+            jnp.asarray(ss[lo:hi]), jnp.asarray(k0s[lo:hi]),
+            jnp.int32(LY), jnp.int32(L), bool(ragged_left),
+            bool(ragged_right), jnp.float32(thr),
+            S=S, nz=nz, K=K, Kp=Kp, W=W, chunk=chunk, group=group,
+            mode=mode, interpret=interpret, cap=cap, exact=exact)
+
+    slices = [(lo, min(lo + wmax, nWp)) for lo in range(0, nWp, wmax)]
+    results = []
+    for lo, hi in slices:
+        n_slice = hi - lo
+        cap = int(cap_env) if cap_env else int(
+            min(n_slice * Kp * W, max(8192, 8 * K * n_slice)))
+        results.append((lo, cap, launch(lo, hi, cap)))
+
+    fetched = jax.device_get([r for (_lo, _cap, r) in results])
+    entries = {k: ([], [], []) for k in keys}
+    for (lo, cap, _r), res in zip(results, fetched):
+        need = max(int(res[k][2]) for k in keys)
+        row_max = max(int(res[k][3]) for k in keys)
+        if need > cap or row_max > compact.DEFAULT_SLOTS:
+            # rare: per-row slots or capacity overflowed — escalate to
+            # the exact sort-based compaction with enough capacity
+            cap2 = 1 << int(np.ceil(np.log2(max(need, 2))))
+            hi = min(lo + wmax, nWp)
+            res = jax.device_get(launch(lo, hi, cap2, exact=True))
+        for k in keys:
+            idx, vals = res[k][0], res[k][1]
+            sel = idx >= 0
+            idx, vals = idx[sel].astype(np.int64), vals[sel]
+            win = idx // (Kp * W)
+            rem = idx % (Kp * W)
+            ks_loc = rem // W
+            js = (rem % W).astype(np.int64)
+            ks = ss[lo + win] + ks_loc
+            entries[k][0].append(vals)
+            entries[k][1].append(ks)
+            entries[k][2].append(js)
+
+    return {
+        "windows": nW,
+        "xoff": xoff,
+        "post_entries": {
+            k: tuple(np.concatenate(parts) if parts else np.zeros(0)
+                     for parts in entries[k])
+            for k in keys},
+    }

@@ -50,13 +50,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cpecan_tpu.ops import compact
 from cpecan_tpu.ops import fb as _fb
 from cpecan_tpu.ops import fb_wavefront as _wf
 from cpecan_tpu.ops.fb_streaming import _host_frame, _pad_frame
 
 
 def supported(mode: str) -> bool:
-    return mode in ("forward", "posterior_match", "posterior_all")
+    return mode in ("forward", "posterior_match", "posterior_all",
+                    "expectation")
 
 
 def seg_chunk(W: int) -> int:
@@ -90,7 +92,9 @@ def _prep_window(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     i8 = lambda cond: jnp.broadcast_to(
         cond[:, None], (K, W)).astype(jnp.int8)
     out = dict(ex=e_x * fm, ey=e_y * fm, em=e_m * fm,
-               a=i8(delta == 1), b1=i8(dmid == 1), b0=i8(dmid == 0))
+               a=i8(delta == 1), b1=i8(dmid == 1), b0=i8(dmid == 0),
+               wx=wx[:, :W].astype(jnp.int32),
+               wy=wy[:, 1:].astype(jnp.int32))
     if not want_bwd:
         return out, prob
 
@@ -312,15 +316,131 @@ def _seg_bwd_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
     for k, v in zip(keys, posts):
         if cap:
-            flat = v.reshape(-1)
-            hit = flat >= thr
-            idx = jnp.nonzero(hit, size=cap, fill_value=-1)[0]
-            vals = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
-            out[k] = (idx.astype(jnp.int32), vals,
-                      jnp.sum(hit, dtype=jnp.int32))
+            out[k] = compact.compact_rows(v, thr, cap)
         else:
             out[k] = v
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "nz", "K", "W", "chunk", "interpret"))
+def _seg_exp_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
+                 k0, LY, L, ragged_right, adj1, adj2, carry_f, carry_b,
+                 S, nz, K, W, chunk, interpret):
+    """Pass-B expectation window: forward-kernel recompute from the
+    checkpoint, then the backward+expectation kernel with the segment
+    carries and the checkpoint rows as the below-segment F halo.
+    adj1/adj2: (K, 1) neighbor scale adjustments exp(-mf_k) /
+    exp(-(mf_k + mf_{k-1})) from the exact pass-A scale stream, zeroed
+    at global k<1 / k<2."""
+    streams, prob = _prep_window(
+        params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
+        k0, LY, L, K, W, want_bwd=True)
+    t_prob = jnp.exp(params["t"]).reshape(3 * S, S)
+    F, bv, _mf, _co = _fwd_call(
+        t_prob, streams, carry_f, S, nz, K, W, chunk, interpret)
+    end_row, _ = _end_row(prob, jlo_g, jhi_g, L, ragged_right, S, W)
+
+    CH = max(8, chunk // 2)
+    NC = K // CH
+    vmem = pltpu.VMEM
+    erow = lambda last: pl.BlockSpec(
+        (1, CH, 1) + last,
+        lambda g, c: (g, NC - 1 - c, 0) + (0,) * len(last),
+        memory_space=vmem)
+    const = lambda shp: pl.BlockSpec(
+        shp, lambda g, c: (0,) * len(shp), memory_space=vmem)
+    halo_spec = pl.BlockSpec(
+        (1, 2, S, 1, W),
+        lambda g, c: (g, jnp.maximum((NC - 1 - c) * (CH // 2) - 1, 0),
+                      0, 0, 0),
+        memory_space=vmem)
+    cin = [const((1, S, 1, W)), const((1, S, 1, W)), const((1, 1, 1)),
+           const((1, 1, W)), const((1, 1, W))]
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1, NC),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
+            erow((W,)), erow((W,)), erow((W,)),  # ef*
+            erow((W,)), erow((W,)), erow((W,)),  # em ex ey
+            pl.BlockSpec((1, CH, S, 1, W),
+                         lambda g, c: (g, NC - 1 - c, 0, 0, 0),
+                         memory_space=vmem),  # F
+            halo_spec,  # F halo (block-relative)
+            const((1, 2, S, 1, W)),  # carry halo (rows k0-2, k0-1)
+            erow((W,)),  # bridgevec
+            erow((W,)), erow((W,)), erow((W,)),  # abw c1 c0
+            erow((W,)), erow((W,)),  # bm1 bm0
+            erow((W,)), erow((W,)), erow((W,)),  # a b1 b0
+            erow((W,)),  # pm
+            const((1, S, 1, W)),  # end rows
+            erow((1,)), erow((1,)),  # adj1 adj2
+            erow((W,)), erow((W,)),  # wx wy
+        ] + cin,
+        out_specs=[
+            erow((1,)), erow((1,)),  # mb, total_raw
+            pl.BlockSpec((1, S, S), lambda g, c: (g, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, S, 4, 4), lambda g, c: (g, 0, 0, 0),
+                         memory_space=vmem),
+        ] + cin,
+        scratch_shapes=[
+            pltpu.VMEM((S, 1, W), jnp.float32),
+            pltpu.VMEM((S, 1, W), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((len(nz), 1, W), jnp.float32),
+            pltpu.VMEM((S * 16, 1, W), jnp.float32),
+        ],
+    )
+
+    def wrapper(*refs):
+        ins = refs[:25]
+        bci = refs[25:30]
+        outs = refs[30:34]
+        bco = refs[34:39]
+        scr = refs[39:]
+        _wf._exp_kernel(*ins, tuple(bci), *outs, tuple(bco), *scr,
+                        S=S, nz=nz, chunk=CH)
+
+    f1, f2, _invm = carry_f
+    fhc = jnp.stack([f2, f1])[None, :, :, None, :]
+    b1, b2, invb, emn, bvn = carry_b
+    outs = pl.pallas_call(
+        wrapper,
+        grid_spec=grid,
+        out_shape=[jax.ShapeDtypeStruct((1, K, 1, 1), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((1, S, S), jnp.float32),
+           jax.ShapeDtypeStruct((1, S, 4, 4), jnp.float32)]
+        + [jax.ShapeDtypeStruct((1, S, 1, W), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((1, 1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((1, 1, W), jnp.float32)] * 2,
+        interpret=interpret,
+    )(t_prob, _to4(streams["efx"]), _to4(streams["efy"]),
+      _to4(streams["efm"]), _to4(streams["em"]), _to4(streams["ex"]),
+      _to4(streams["ey"]), F, F, fhc, bv,
+      _to4(streams["abw"]), _to4(streams["c1"]), _to4(streams["c0"]),
+      _to4(streams["bm1"]), _to4(streams["bm0"]),
+      _to4(streams["a"]), _to4(streams["b1"]), _to4(streams["b0"]),
+      _to4(streams["pm"]), end_row[None, :, None, :],
+      adj1[None, :, None, :], adj2[None, :, None, :],
+      _to4(streams["wx"]), _to4(streams["wy"]),
+      b1[None, :, None, :], b2[None, :, None, :], invb[None],
+      emn[None], bvn[None])
+
+    mb = outs[0][0, :, 0, 0]
+    tot = outs[1][0, :, 0, 0]
+    trans = outs[2][0]
+    emis = outs[3][0]
+    bo1, bo2, boi, boem, bobv = outs[4:9]
+    carry_out = (bo1[0, :, 0, :], bo2[0, :, 0, :], boi[0],
+                 boem[0], bobv[0])
+    return {"mb": mb, "total_raw": tot, "trans": trans, "emis": emis,
+            "carry_b": carry_out}
 
 
 @functools.partial(jax.jit, static_argnames=("S", "W"))
@@ -398,13 +518,56 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
         fe_parts.append(fe_win)
     mf_h, fe_h, m0_h = jax.device_get(
         (jnp.concatenate(mf_parts), jnp.concatenate(fe_parts), m0log))
-    mf = np.concatenate([np.asarray(m0_h, np.float64)[None],
-                         mf_h.astype(np.float64)])[: L + 1]
+    mf_full = np.concatenate([np.asarray(m0_h, np.float64)[None],
+                              mf_h.astype(np.float64)])  # rows 0..nW*K
+    mf = mf_full[: L + 1]
     log_fwd = float(fe_h[L - 1])  # fe index 0 is row 1
 
     out = {"log_fwd": log_fwd, "mf": mf, "windows": nW}
     if mode == "forward":
         out["mb"] = np.zeros(L + 1)
+        return out
+
+    if mode == "expectation":
+        zerosw = jnp.zeros((S, W), jnp.float32)
+        carry_b = (zerosw, zerosw, jnp.ones((1, 1), jnp.float32),
+                   jnp.zeros((1, W), jnp.float32),
+                   jnp.zeros((1, W), jnp.float32))
+        trans_acc = None
+        emis_acc = None
+        rows_out = []
+        ks_all = np.arange(len(mf_full))
+        for w in range(nW - 1, -1, -1):
+            k0 = 1 + w * K
+            ks = ks_all[k0:k0 + K]
+            a1 = np.exp(-mf_full[ks]) * (ks >= 1)
+            a2 = np.exp(-(mf_full[ks] + mf_full[ks - 1])) * (ks >= 2)
+            res = _seg_exp_jit(
+                params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
+                ja(k0), ja(LY), ja(L), bool(ragged_right),
+                jnp.asarray(a1[:, None], jnp.float32),
+                jnp.asarray(a2[:, None], jnp.float32),
+                checkpoints[w], carry_b,
+                S=S, nz=nz, K=K, W=W, chunk=chunk, interpret=interpret)
+            carry_b = res.pop("carry_b")
+            trans_acc = (res["trans"] if trans_acc is None
+                         else trans_acc + res["trans"])
+            emis_acc = (res["emis"] if emis_acc is None
+                        else emis_acc + res["emis"])
+            rows_out.append((k0, res["mb"], res["total_raw"]))
+        fetched = jax.device_get(
+            (trans_acc, emis_acc, [(r[1], r[2]) for r in rows_out]))
+        mb = np.zeros(L + 1)
+        total_raw = np.full(L + 1, -np.inf)
+        for (k0, _m, _t), (mb_w, tot_w) in zip(rows_out, fetched[2]):
+            hi = min(k0 + K, L + 1)
+            if hi > k0:
+                mb[k0:hi] = mb_w[: hi - k0].astype(np.float64)
+                total_raw[k0:hi] = tot_w[: hi - k0].astype(np.float64)
+        out["mb"] = mb
+        out["total_raw"] = total_raw
+        out["trans"] = fetched[0].astype(np.float64)
+        out["emis"] = fetched[1].astype(np.float64)
         return out
 
     # ---- pass B: backward windows high-to-low. Posterior blocks are
@@ -445,9 +608,11 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
             mb[k0:hi] = res["mb"][:n_rows].astype(np.float64)
             total_raw[k0:hi] = res["total_raw"][:n_rows].astype(np.float64)
         dense = {}
-        if any(int(res[key][2]) > cap for key in keys):
-            # capacity overflow (~8 entries/diagonal exceeded): re-run
-            # this window dense from its saved carries
+        if any(int(res[key][2]) > cap
+               or int(res[key][3]) > compact.DEFAULT_SLOTS
+               for key in keys):
+            # capacity or per-row slot overflow: re-run this window
+            # dense from its saved carries
             redo = _seg_bwd_jit(
                 params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
                 ja(k0), ja(LY), ja(L), bool(ragged_right), thr_j,
@@ -460,7 +625,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
                 ks_loc, js_loc = np.nonzero(dense[key] >= thr)
                 vals = dense[key][ks_loc, js_loc]
             else:
-                idx, vals, _count = res[key]
+                idx, vals = res[key][0], res[key][1]
                 sel = idx >= 0
                 idx, vals = idx[sel], vals[sel]
                 ks_loc, js_loc = idx // W, idx % W

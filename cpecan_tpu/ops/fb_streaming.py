@@ -221,16 +221,19 @@ def fb_pass_streaming(params, seq_x_codes, seq_y_codes,
                       lx: int, ly: int, ragged_left: bool,
                       ragged_right: bool, mode: str, width: int,
                       window: int, threshold: float = 0.0,
-                      engine: str | None = None):
+                      engine: str | None = None, burnin: int | None = None):
     """Streaming banded FB for ONE long pair.
 
     seq_*_codes: int symbol arrays of the true lengths (no padding).
     offsets/widths: UNPADDED band tensors (length lx+ly+1).
     window: diagonals per checkpoint window (window_rows(p)).
-    engine: "scan" | "wavefront" | None (auto: the segmented Pallas
-      engine, ops/fb_segmented.py, on a TPU backend for its supported
-      modes; this scan engine otherwise). Env override:
-      CPECAN_TPU_STREAM_ENGINE.
+    engine: "scan" | "wavefront" | "parallel" | None. Auto picks, on a
+      TPU backend, the burn-in-parallel window engine
+      (ops/fb_parallel.py — approximate exactly the way the reference's
+      traceback seeding is, returns only post_entries/xoff/windows) for
+      posterior modes and the exact segmented Pallas engine
+      (ops/fb_segmented.py) for its other supported modes; the scan
+      engine otherwise. Env override: CPECAN_TPU_STREAM_ENGINE.
 
     Returns a dict:
       "log_fwd": float raw end-dot log at L (host f64 recombination adds
@@ -245,11 +248,21 @@ def fb_pass_streaming(params, seq_x_codes, seq_y_codes,
     global LAST_ENGINE
     if engine is None:
         engine = os.environ.get("CPECAN_TPU_STREAM_ENGINE", "auto")
-    if engine != "scan":
+    on_tpu = jax.default_backend() == "tpu"
+    if engine in ("auto", "parallel"):
+        from cpecan_tpu.ops import fb_parallel
+
+        if fb_parallel.supported(mode) and (engine == "parallel" or on_tpu):
+            LAST_ENGINE = "parallel"
+            return fb_parallel.fb_pass_parallel(
+                params, seq_x_codes, seq_y_codes, offsets, widths, lx, ly,
+                ragged_left, ragged_right, mode, width,
+                burnin=burnin if burnin else 96, threshold=threshold)
+    if engine not in ("scan", "parallel"):
         from cpecan_tpu.ops import fb_segmented
 
         if fb_segmented.supported(mode) and (
-                engine == "wavefront" or jax.default_backend() == "tpu"):
+                engine == "wavefront" or on_tpu):
             LAST_ENGINE = "wavefront"
             return fb_segmented.fb_pass_segmented(
                 params, seq_x_codes, seq_y_codes, offsets, widths, lx, ly,

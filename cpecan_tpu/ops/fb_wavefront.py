@@ -365,10 +365,10 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
 
 
 def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
-                f_ref, fh_ref, bv_ref, abw_ref, c1_ref, c0_ref, bm1_ref,
-                bm0_ref, a_ref, b1_ref, b0_ref, pm_ref, end_ref,
-                adj1_ref, adj2_ref, wx_ref, wy_ref,
-                mb_ref, tot_ref, trans_ref, emis_ref,
+                f_ref, fh_ref, fhc_ref, bv_ref, abw_ref, c1_ref, c0_ref,
+                bm1_ref, bm0_ref, a_ref, b1_ref, b0_ref, pm_ref, end_ref,
+                adj1_ref, adj2_ref, wx_ref, wy_ref, bci_refs,
+                mb_ref, tot_ref, trans_ref, emis_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s, tacc_s, eacc_s,
                 *, S, nz, chunk):
     """Same backward recursion as _bwd_kernel plus expected-count
@@ -385,17 +385,31 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
     lane-accumulator per active transition and per (state, symx, symy)
     cell) and reduce to the (S, S) / (S, 4, 4) outputs on each pair
     group's final grid step.
+
+    Segment support (ops/fb_segmented.py expectation mode): fhc_ref is
+    an optional (1, 2, S, G, W) carry halo holding the TRUE rows
+    (k0-2, k0-1) just below the segment (used in place of fh_ref on the
+    segment's lowest chunk); bci_refs / bco_refs are the same backward
+    carry-in/out 5-tuples as _bwd_kernel. All None in the batch path.
     """
     cr = pl.program_id(1)
     nc = pl.num_programs(1)
 
     @pl.when(cr == 0)
     def _():
-        b1_s[...] = jnp.zeros_like(b1_s)
-        b2_s[...] = jnp.zeros_like(b2_s)
-        invb_s[...] = jnp.ones_like(invb_s)
-        emn_s[...] = jnp.zeros_like(emn_s)
-        bvn_s[...] = jnp.zeros_like(bvn_s)
+        if bci_refs is None:
+            b1_s[...] = jnp.zeros_like(b1_s)
+            b2_s[...] = jnp.zeros_like(b2_s)
+            invb_s[...] = jnp.ones_like(invb_s)
+            emn_s[...] = jnp.zeros_like(emn_s)
+            bvn_s[...] = jnp.zeros_like(bvn_s)
+        else:
+            bi1, bi2, bii, biem, bibv = bci_refs
+            b1_s[...] = bi1[0]
+            b2_s[...] = bi2[0]
+            invb_s[...] = bii[0]
+            emn_s[...] = biem[0]
+            bvn_s[...] = bibv[0]
         tacc_s[...] = jnp.zeros_like(tacc_s)
         eacc_s[...] = jnp.zeros_like(eacc_s)
 
@@ -488,9 +502,17 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
         i1 = jnp.maximum(ii - 1, 0)
         i2 = jnp.maximum(ii - 2, 0)
         ih = jnp.minimum(ii, 1)
-        Fm1 = [f_ref[0, i1, s] * g1 + fh_ref[0, 1, s] * (1.0 - g1)
+        if fhc_ref is None:
+            halo = lambda hx, s: fh_ref[0, hx, s]
+        else:
+            # the segment's lowest chunk runs on the LAST grid step; its
+            # below-segment halo rows come from the carry halo
+            low = (cr == nc - 1).astype(jnp.float32)
+            halo = lambda hx, s: (fhc_ref[0, hx, s] * low
+                                  + fh_ref[0, hx, s] * (1.0 - low))
+        Fm1 = [f_ref[0, i1, s] * g1 + halo(1, s) * (1.0 - g1)
                for s in range(S)]
-        Fm2 = [f_ref[0, i2, s] * g2 + fh_ref[0, ih, s] * (1.0 - g2)
+        Fm2 = [f_ref[0, i2, s] * g2 + halo(ih, s) * (1.0 - g2)
                for s in range(S)]
 
         nxe = {f: jnp.where(a_m, Fm1[f], _shift_r(Fm1[f])) * exa
@@ -550,6 +572,18 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
                 mask = ((si == t) & (ai == ab // 4) & (bi == ab % 4))
                 emis = emis + v * mask.astype(jnp.float32)
         emis_ref[0] = emis
+
+    if bco_refs is not None:
+        bo1, bo2, boi, boem, bobv = bco_refs
+
+        @pl.when(cr == nc - 1)
+        def _():
+            for t in range(S):
+                bo1[0, t] = b1_s[t]
+                bo2[0, t] = b2_s[t]
+            boi[0] = invb_s[...]
+            boem[0] = emn_s[...]
+            bobv[0] = bvn_s[...]
 
 
 # ---------------------------------------------------------------------------
@@ -824,8 +858,15 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
                 pltpu.VMEM((S * 16, G, W), jnp.float32),  # emis acc
             ],
         )
+        def _exp_wrapper(*refs):
+            ins = refs[:24]
+            outs = refs[24:28]
+            scr = refs[28:]
+            _exp_kernel(*ins[:9], None, *ins[9:], None, *outs, None, *scr,
+                        S=S, nz=nz, chunk=CH)
+
         mb, tot, trans, emis = pl.pallas_call(
-            functools.partial(_exp_kernel, S=S, nz=nz, chunk=CH),
+            _exp_wrapper,
             grid_spec=exp_grid,
             out_shape=[
                 jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),

@@ -1,0 +1,138 @@
+"""Burn-in-parallel window decode vs the exact two-pass engine.
+
+The parallel engine (ops/fb_parallel.py) seeds each window from a
+neutral state and burns in — the reference's own traceback-seeding
+approximation (impl/pairwiseAligner.c:797-817) applied to both
+directions. At the production threshold its thresholded posterior
+entries must match the exact engine: boundary error decays
+geometrically in the burn-in length.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from cpecan_tpu.align.anchors import get_anchors
+from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.models.state_machine import state_machine5
+from cpecan_tpu.ops import fb, fb_parallel
+from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils.symbols import encode, evolve_sequence, get_random_sequence
+
+import jax.numpy as jnp
+
+
+def _case(n=600, seed=5, expansion=8):
+    rng = random.Random(seed)
+    x = get_random_sequence(n, rng)
+    y = evolve_sequence(x, rng)
+    while len(y) < 4:
+        y = evolve_sequence(x, rng)
+    p = PairwiseAlignmentParameters(diagonalExpansion=expansion)
+    anchors = [(a, b) for (a, b, *_r) in get_anchors(x, y, p)]
+    band = construct_band(anchors, len(x), len(y), expansion)
+    return x, y, band
+
+
+def _two_pass(sm, x, y, band, mode, W):
+    P = band.diagonal_number
+    Pb = 1
+    while Pb < P:
+        Pb *= 2
+    offsets, widths, L = pad_band(band, Pb)
+    sx = np.zeros(Pb, np.int32)
+    sy = np.zeros(Pb, np.int32)
+    sx[: len(x)] = encode(x)
+    sy[: len(y)] = encode(y)
+    out = fb.fb_pass(sm.device_params(), jnp.asarray(sx), jnp.asarray(sy),
+                     jnp.asarray(offsets), jnp.asarray(widths),
+                     jnp.int32(len(x)), jnp.int32(len(y)), False, False,
+                     mode=mode, width=W)
+    return {k: np.asarray(v) for k, v in out.items()}, L
+
+
+@pytest.mark.parametrize("mode", ["posterior_match", "posterior_all"])
+def test_parallel_matches_exact_at_threshold(mode):
+    x, y, band = _case()
+    sm = state_machine5()
+    W = max(8, band.frame_width())
+    thr = 0.01
+    ref, L = _two_pass(sm, x, y, band, mode, W)
+    got = fb_parallel.fb_pass_parallel(
+        sm.device_params(), encode(x), encode(y), band.offsets, band.widths,
+        len(x), len(y), False, False, mode, W, burnin=64, threshold=thr,
+        window=128)
+    assert got["windows"] == -(-L // 128)
+    keys = (("post_match",) if mode == "posterior_match" else
+            ("post_match", "post_gap_x", "post_gap_y"))
+    for key in keys:
+        vals, ks, js = got["post_entries"][key]
+        dense = np.zeros_like(ref[key])
+        dense[ks, js] = vals
+        ref_thr = np.where(ref[key] >= thr, ref[key], 0.0)
+        got_thr = np.where(dense >= thr, dense, 0.0)
+        # same entry set (tolerating knife-edge threshold crossings) and
+        # probabilities within the burn-in error budget
+        diff = np.abs(got_thr[: L + 1] - ref_thr[: L + 1])
+        near_thr = np.minimum(np.abs(ref_thr[: L + 1] - thr),
+                              np.abs(got_thr[: L + 1] - thr)) < 2e-3
+        assert np.all((diff < 2e-3) | near_thr), float(diff.max())
+
+
+def test_parallel_single_window_is_exact():
+    """A pair shorter than one window runs exactly (true start, natural
+    end seeding, no neutral states)."""
+    x, y, band = _case(n=120, seed=9)
+    sm = state_machine5()
+    W = max(8, band.frame_width())
+    ref, L = _two_pass(sm, x, y, band, "posterior_match", W)
+    got = fb_parallel.fb_pass_parallel(
+        sm.device_params(), encode(x), encode(y), band.offsets, band.widths,
+        len(x), len(y), False, False, "posterior_match", W, burnin=32,
+        threshold=0.0, window=4 * (L + 2))
+    assert got["windows"] == 1
+    vals, ks, js = got["post_entries"]["post_match"]
+    dense = np.zeros_like(ref["post_match"])
+    dense[ks, js] = vals
+    np.testing.assert_allclose(dense[: L + 1], ref["post_match"][: L + 1],
+                               rtol=1e-3, atol=2e-5)
+
+
+def test_parallel_batch_route(monkeypatch):
+    """The batched posterior API routes long chunks through the parallel
+    engine on request and reproduces the two-pass results at the
+    default threshold."""
+    from cpecan_tpu.align import batch as batch_mod
+
+    rng = random.Random(21)
+    p = PairwiseAlignmentParameters(diagonalExpansion=6)
+    sm = state_machine5()
+    jobs = []
+    for i in range(2):
+        x = get_random_sequence(rng.randint(300, 500), rng)
+        y = evolve_sequence(x, rng) or "ACGT"
+        anchors = get_anchors(x, y, p)
+        jobs.append((x, y, anchors, False, False))
+
+    ref = batch_mod.batch_posteriors(sm, jobs, p, mode="posterior_match")
+    monkeypatch.setenv("CPECAN_TPU_STREAM_BUDGET", "1")  # stream everything
+    monkeypatch.setenv("CPECAN_TPU_STREAM_ENGINE", "parallel")
+    got = batch_mod.batch_posteriors(sm, jobs, p, mode="posterior_match")
+    for a, b in zip(got, ref):
+        a = np.sort(a, order=["x", "y"])
+        b = np.sort(b, order=["x", "y"])
+        # same pair set up to knife-edge threshold effects; probs within
+        # the burn-in budget (fixed-point units of 1e7)
+        ka = set(zip(a["x"].tolist(), a["y"].tolist()))
+        kb = set(zip(b["x"].tolist(), b["y"].tolist()))
+        sym_diff = ka ^ kb
+        assert len(sym_diff) <= max(2, len(kb) // 50), sym_diff
+        # probabilities within the burn-in wobble the reference's own
+        # traceback seeding accepts (~1e-2 near window boundaries in
+        # slow-mixing gap regions; fixed-point units of 1e7)
+        common = ka & kb
+        pa = {(r["x"], r["y"]): r["prob"] for r in a}
+        pb = {(r["x"], r["y"]): r["prob"] for r in b}
+        for kxy in common:
+            assert abs(pa[kxy] - pb[kxy]) < 2e-2 * 1e7 + 30

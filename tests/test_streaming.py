@@ -230,6 +230,30 @@ def test_segmented_wavefront_matches_scan_streaming(window):
                                    rtol=1e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize("window", [64, 256])
+def test_segmented_wavefront_expectations_match(window):
+    """Segmented expectation mode (EM E-step over kernel windows with
+    exact carries + carry halo) vs the two-pass engine."""
+    from cpecan_tpu.ops import fb_segmented
+
+    x, y, band = _case(n=180, seed=9)
+    sm = state_machine5()
+    W = max(8, band.frame_width())
+    ref, L = _two_pass(sm, x, y, band, "expectation", W)
+    got = fb_segmented.fb_pass_segmented(
+        sm.device_params(), encode(x), encode(y), band.offsets, band.widths,
+        len(x), len(y), False, False, "expectation", W, window)
+    np.testing.assert_allclose(got["trans"], ref["trans"], rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(got["emis"], ref["emis"], rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(got["total_raw"][1: L + 1],
+                               ref["total_raw"][1: L + 1],
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(got["mb"][1: L + 1], ref["mb"][1: L + 1],
+                               rtol=1e-4, atol=2e-5)
+
+
 def test_segmented_wavefront_forward_mode():
     from cpecan_tpu.ops import fb_segmented
 
