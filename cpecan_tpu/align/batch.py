@@ -45,40 +45,55 @@ class _Task:
 
 @jax.jit
 def _count_above(post, thr):
-    return jnp.sum(post >= thr, axis=(1, 2))
+    """Per-launch entry count and per-row max (for capacity sizing and
+    slot-overflow detection) — fetched in one batched round trip."""
+    B, P1, W = post.shape
+    hit = post >= thr
+    rows = jnp.sum(hit, axis=-1)
+    return jnp.sum(rows, dtype=jnp.int32), jnp.max(rows).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _compact_above(post, thr, k):
-    """Per-batch-row indices and values of posterior entries >= thr
-    (fixed size k, -1 padded) — sparsifies on device so only the
-    above-threshold entries cross the host link."""
-    def one(pm):
-        flat = pm.reshape(-1)
-        idx = jnp.nonzero(flat >= thr, size=k, fill_value=-1)[0]
-        vals = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
-        return idx.astype(jnp.int32), vals
-    return jax.vmap(one)(post)
+@functools.partial(jax.jit, static_argnames=("cap", "exact"))
+def _compact_above(post, thr, cap, exact=False):
+    """Compact a launch's (B, P+1, W) posterior block to its >= thr
+    entries on device (ops/compact.py) so only those cross the host
+    link. Returns (idx, vals, ...) with idx flat over (B*(P+1), W)."""
+    from cpecan_tpu.ops import compact
+
+    B, P1, W = post.shape
+    rows = post.reshape(B * P1, W)
+    if exact:
+        return compact.compact_rows_exact(rows, thr, cap)
+    return compact.compact_rows(rows, thr, cap)
 
 
-def _sparse_to_pairs(idx_row, val_row, offsets64, W, L, ox, oy):
-    """Host decode of compacted posterior entries into a pair array
-    (addPosteriorProb semantics, matching extract_pairs_from_posteriors)."""
-    sel = idx_row >= 0
-    idx = idx_row[sel]
-    vals = val_row[sel]
-    ks = idx // W
-    js = idx % W
-    keep = ks <= L
-    ks, js, vals = ks[keep], js[keep], vals[keep]
-    xoff = pairs_mod.frame_offsets(offsets64)
-    xs = xoff[ks] + js
-    ys = ks - xs
-    p = np.minimum(vals, 1.0)
+def _sparse_to_pairs_batch(idx, vals, offs, P1, W, items, res_one):
+    """Vectorized host decode of one launch's compacted entries into
+    per-job pair arrays (addPosteriorProb semantics)."""
     from cpecan_tpu.utils.logmath import PAIR_ALIGNMENT_PROB_1
-    return pairs_mod.make_pairs(
-        np.floor(p.astype(np.float64) * PAIR_ALIGNMENT_PROB_1).astype(np.int64),
-        xs - 1 + ox, ys - 1 + oy)
+
+    sel = idx >= 0
+    idx = idx[sel].astype(np.int64)
+    vals = vals[sel]
+    rows = idx // W
+    js = idx % W
+    b = rows // P1
+    ks = rows % P1
+    # per-item frame offsets: vectorized cummax over the offsets matrix
+    xoff = pairs_mod.frame_offsets_batch(offs)
+    xs = xoff[b, ks] + js
+    ys = ks - xs
+    prob = np.floor(np.minimum(vals.astype(np.float64), 1.0)
+                    * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    b, ks, xs, ys, prob = b[order], ks[order], xs[order], ys[order], prob[order]
+    bounds = np.searchsorted(b, np.arange(len(items) + 1))
+    for i, (t, band) in enumerate(items):
+        lo, hi = bounds[i], bounds[i + 1]
+        keep = ks[lo:hi] <= band.diagonal_number
+        res_one[t.job].append(pairs_mod.make_pairs(
+            prob[lo:hi][keep], xs[lo:hi][keep] - 1 + t.x1,
+            ys[lo:hi][keep] - 1 + t.y1))
 
 
 # Dense posterior outputs (B x (P+1) x W floats per mode output) live on
@@ -189,38 +204,41 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
         P = _bucket(band.diagonal_number)
         buckets.setdefault((P, W), []).append((t, band))
 
-    # Three phases so bucket i's host syncs overlap bucket j's device
-    # compute (the device queue is async; each forced value is a host
-    # round-trip that would otherwise serialize per bucket).
+    # Launches enqueue without a single host sync; each flush cycle then
+    # costs exactly two link round trips (the measured cost model of the
+    # remote-TPU path: every sync is ~23 ms): one batched device_get of
+    # all launches' entry counts, one of all tight-capacity compactions.
+    from cpecan_tpu.ops import compact as compact_mod
+
     n_dev = 1 if mesh is None else mesh.devices.size
-    pending = []  # (items, offs_per, out, counts) per launch
+    pending = []  # (items, offs (B, P+1), out, count_devs) per launch
     pending_bytes = 0
 
     def flush():
-        """Phases 2+3 for everything queued: sparsify on device — only
-        the >= threshold entries cross the host link (the dense
-        posteriors can be 100x larger) — then emit host pair arrays."""
+        """Count -> compact -> decode for everything queued: only the
+        >= threshold entries ever cross the host link (the dense
+        posteriors can be 100x larger)."""
         nonlocal pending, pending_bytes
-        compacted = []
-        for items, offs_per, out, counts in pending:
-            sparse_dev = []
-            for k, cnt in zip(keys, counts):
-                n_above = int(np.max(np.asarray(cnt)[: len(items)],
-                                     initial=0))
-                kk = _batch_bucket_size(max(n_above, 64))
-                sparse_dev.append(_compact_above(out[k], p.threshold, kk))
+        if not pending:
+            return
+        counts = jax.device_get([cd for (_i, _o, _out, cd) in pending])
+        comp = []
+        for (items, offs, out, _cd), cnts in zip(pending, counts):
+            per_key = []
+            for k, (count, row_max) in zip(keys, cnts):
+                cap = _batch_bucket_size(max(int(count), 64))
+                exact = int(row_max) > compact_mod.DEFAULT_SLOTS
+                per_key.append(_compact_above(out[k], p.threshold,
+                                              cap=cap, exact=exact))
+            comp.append(per_key)
+        fetched = jax.device_get(comp)
+        for (items, offs, out, _cd), per_key in zip(pending, fetched):
             Wp = out[keys[0]].shape[2]
-            compacted.append((items, offs_per, Wp, sparse_dev))
-
-        for items, offs_per, Wp, sparse_dev in compacted:
-            sparse = [(np.asarray(idx), np.asarray(vals))
-                      for idx, vals in sparse_dev]
-            for i, (t, band) in enumerate(items):
-                L = band.diagonal_number
-                for oi in range(n_out):
-                    idx, vals = sparse[oi]
-                    results[oi][t.job].append(_sparse_to_pairs(
-                        idx[i], vals[i], offs_per[i], Wp, L, t.x1, t.y1))
+            P1 = out[keys[0]].shape[1]
+            for oi in range(n_out):
+                idx, vals = per_key[oi][0], per_key[oi][1]
+                _sparse_to_pairs_batch(idx, vals, offs, P1, Wp, items,
+                                       results[oi])
         pending = []
         pending_bytes = 0
 
@@ -246,12 +264,10 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
             ly = np.zeros(B, np.int32)
             rl = np.zeros(B, bool)
             rr = np.zeros(B, bool)
-            offs_per = []
             for i, (t, band) in enumerate(items):
                 o, w, L = pad_band(band, P)
                 offsets[i] = o
                 widths[i] = w
-                offs_per.append(o.astype(np.int64))
                 sx[i, : len(t.sub_x)] = encode(t.sub_x)
                 sy[i, : len(t.sub_y)] = encode(t.sub_y)
                 lx[i] = len(t.sub_x)
@@ -270,7 +286,7 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
                 jnp.asarray(arrays["rl"]), jnp.asarray(arrays["rr"]),
                 mode=mode, width=W, mesh=mesh)
             counts = [_count_above(out[k], p.threshold) for k in keys]
-            pending.append((items, offs_per, out, counts))
+            pending.append((items, offsets.astype(np.int64), out, counts))
             pending_bytes += B * (P + 1) * W * 4 * n_out
             if pending_bytes >= dense_budget:
                 flush()

@@ -39,6 +39,12 @@ def frame_offsets(offsets: np.ndarray) -> np.ndarray:
     return np.maximum.accumulate((ks + offsets) // 2)
 
 
+def frame_offsets_batch(offsets: np.ndarray) -> np.ndarray:
+    """frame_offsets over a (B, P+1) offsets matrix, vectorized."""
+    ks = np.arange(offsets.shape[1], dtype=np.int64)
+    return np.maximum.accumulate((ks[None, :] + offsets) // 2, axis=1)
+
+
 def extract_pairs_from_posteriors(post, offsets, L, threshold,
                                   offset_x=0, offset_y=0) -> np.ndarray:
     """Threshold a dense (P+1, W) x-frame-slot posterior array into a pair
