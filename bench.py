@@ -88,6 +88,21 @@ def _time_reps(fn, reps: int, warmup: int = 1) -> float:
     return float(np.median(times))
 
 
+def _metered_cells(fn) -> int:
+    """dp_cells counted by the library's metrics during one run of fn.
+
+    Used to derive the C comparator for end-to-end configs: the reference
+    publishes no numbers (BASELINE.md), so estimated single-core C time =
+    in-band cells / measured C cell rate (native/bench_cells.c runs the
+    reference's per-cell fwd+bwd arithmetic). vs_baseline for latency
+    metrics is then estimated-C-seconds / measured-seconds (speedup)."""
+    from cpecan_tpu.utils import metrics
+
+    metrics.reset()
+    fn()
+    return int(metrics.snapshot()["counters"].get("dp_cells", 0))
+
+
 # ------------------------------------------------------------- headline
 
 def build_batch(rng):
@@ -186,13 +201,14 @@ def bench_realign_1kb(baseline: float) -> dict:
             assert rc == 0
 
         dt = _time_reps(run, reps=5, warmup=2)
+        cells = _metered_cells(run)
 
     parity = _posterior_parity(x, y)
     return {
         "metric": "realign_1kb_latency",
         "value": round(dt, 4),
         "unit": "s",
-        "vs_baseline": None,
+        "vs_baseline": round(cells / baseline / dt, 2),
         "posterior_parity_max_abs": parity,
     }
 
@@ -257,7 +273,7 @@ def bench_read_pairs_1kb(baseline: float, n_pairs: int = 1024) -> dict:
         "metric": "read_pairs_1kb_per_sec",
         "value": round(n_pairs / dt, 2),
         "unit": "pairs/s",
-        "vs_baseline": None,
+        "vs_baseline": round(cells / dt / baseline, 2),
         "dp_cells_per_sec": round(cells / dt),
         "vs_baseline_cells": round(cells / dt / baseline, 2),
     }
@@ -265,7 +281,8 @@ def bench_read_pairs_1kb(baseline: float, n_pairs: int = 1024) -> dict:
 
 # ------------------------------------ config 3: anchored 10-50 kb pairs
 
-def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
+def bench_anchored_50kb(baseline: float, n: int = 50_000,
+                        reps: int = 3) -> dict:
     """Anchored banded alignment of one 50 kb genomic-like pair end to end
     (BASELINE config #3): native k-mer seeding/chaining, recursion,
     large-gap splitting, bucketed device batches, pair extraction.
@@ -297,7 +314,7 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
         result[0] = pairs
         assert len(pairs) > 0
 
-    dt = _time_reps(run, reps=3, warmup=1)
+    dt = _time_reps(run, reps=reps, warmup=1)
 
     ordered = filter_pairwise_alignment_to_make_pairs_ordered(
         pairs_mod.sort_pairs(result[0]), x, y, 0.9)
@@ -308,7 +325,7 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000) -> dict:
         "metric": "anchored_50kb_e2e",
         "value": round(dt, 3),
         "unit": "s",
-        "vs_baseline": None,
+        "vs_baseline": round(cells[0] / dt / baseline, 2),
         "dp_cells_per_sec": round(cells[0] / dt),
         "vs_baseline_cells": round(cells[0] / dt / baseline, 2),
         "sensitivity": round(tp / max(len(truth_set), 1), 4),
@@ -360,24 +377,121 @@ def bench_em(baseline: float, n_pairs: int = 64) -> dict:
         state[0] = one_iteration(state[0])
 
     dt = _time_reps(run, reps=3, warmup=1)
+    cells = _metered_cells(run)
     return {
         "metric": "em_iterations_per_sec_64x1kb",
         "value": round(1.0 / dt, 3),
         "unit": "iters/s",
+        "vs_baseline": round(cells / baseline / dt, 2),
+        "dp_cells_per_iteration": cells,
+    }
+
+
+# -------------------------------- config 4b: EM data-parallel scaling
+
+_EM_SCALING_RUN = """
+import os, sys, time, json, random
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+    " --xla_force_host_platform_device_count=%(ndev)d").strip()
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cpecan_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+from cpecan_tpu.config import PairwiseAlignmentParameters
+from cpecan_tpu.em import em as em_mod
+from cpecan_tpu.io import cigar as cigar_io
+from cpecan_tpu.models.hmm import Hmm
+from cpecan_tpu.models.state_machine import state_machine_from_hmm
+import cpecan_tpu.utils.symbols as sym
+
+assert jax.device_count() == %(ndev)d
+rng = random.Random(4)
+n_pairs, n = %(n_pairs)d, %(seq_len)d
+sequences, cigars = {}, []
+for i in range(n_pairs):
+    x = sym.get_random_sequence(n, rng).upper()
+    y = sym.evolve_sequence(x, rng).upper()
+    sequences["x%%d" %% i] = x; sequences["y%%d" %% i] = y
+    m = min(len(x), len(y))
+    ops = [(cigar_io.MATCH, m)]
+    if len(x) > m: ops.append((cigar_io.INDEL_X, len(x) - m))
+    if len(y) > m: ops.append((cigar_io.INDEL_Y, len(y) - m))
+    cigars.append(cigar_io.PairwiseAlignment(
+        "x%%d" %% i, 0, len(x), True, "y%%d" %% i, 0, len(y), True, 0.0, ops))
+options = em_mod.EmOptions(iterations=1, trials=1)
+p = options.pairwise_params()
+tasks = em_mod.tasks_from_cigars(cigars, sequences, p)
+model = em_mod.make_initial_model(options, random.Random(0))
+mesh = None
+if %(ndev)d > 1:
+    from cpecan_tpu.parallel.mesh import data_mesh
+    mesh = data_mesh(%(ndev)d)
+def one(model):
+    sm = state_machine_from_hmm(model)
+    ex = Hmm(model.type, pseudo_expectation=1e-12)
+    em_mod.expectation_step(sm, tasks, p, ex, mesh=mesh)
+    return em_mod.maximisation_step(ex, model, options)
+model = one(model)  # warm/compile
+reps = 3
+t0 = time.perf_counter()
+for _ in range(reps):
+    model = one(model)
+dt = (time.perf_counter() - t0) / reps
+print("EMSCALE " + json.dumps({"iters_per_sec": 1.0 / dt}))
+"""
+
+
+def bench_em_scaling(baseline: float, n_pairs: int = 64,
+                     seq_len: int = 1000) -> dict:
+    """Data-parallel EM scaling on a virtual CPU mesh (BASELINE config #4
+    scaling axis: 1 chip -> 1 host -> N devices). The same shard_map
+    expectation-reduction code path runs on real multi-chip meshes; the
+    virtual mesh measures the scaling of the sharded dispatch itself.
+    Reported per device count as iters/s plus parallel efficiency."""
+    points = {}
+    for ndev in (1, 8):
+        script = _EM_SCALING_RUN % {
+            "ndev": ndev, "repo": HERE, "n_pairs": n_pairs,
+            "seq_len": seq_len}
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        res = subprocess.run([sys.executable, "-c", script],
+                             capture_output=True, text=True, timeout=1200,
+                             env=env, cwd=HERE)
+        if res.returncode != 0:
+            points[str(ndev)] = {"error": res.stderr[-500:]}
+            continue
+        line = [l for l in res.stdout.splitlines() if l.startswith("EMSCALE ")]
+        points[str(ndev)] = json.loads(line[-1][len("EMSCALE "):])
+    speedup = None
+    if "iters_per_sec" in points.get("1", {}) and \
+            "iters_per_sec" in points.get("8", {}):
+        speedup = round(points["8"]["iters_per_sec"] /
+                        points["1"]["iters_per_sec"], 2)
+    return {
+        "metric": "em_scaling_cpu_mesh_8dev_speedup",
+        "value": speedup,
+        "unit": "x",
         "vs_baseline": None,
+        "points": points,
     }
 
 
 # ------------------------------------------------- config 5: MSA
 
-def bench_msa(baseline: float, n_seqs: int = 20, seq_len: int = 500) -> dict:
-    """Progressive multiple alignment of 20 x 500 bp evolved sequences
-    (BASELINE config #5 at single-chip scale): spanning-tree pair
-    selection, batched pairwise posteriors on device, host column
-    merging."""
+def bench_msa(baseline: float, n_seqs: int = 20, seq_len: int = 500,
+              reps: int = 3) -> dict:
+    """Progressive multiple alignment of evolved sequences (BASELINE
+    config #5): spanning-tree pair selection, batched pairwise posteriors
+    on device, host column merging. Reports the host-merge vs device-
+    posterior time split from the metrics stages."""
     from cpecan_tpu.config import PairwiseAlignmentParameters
     from cpecan_tpu.models.state_machine import state_machine5 as sm5
     from cpecan_tpu.msa import aligner
+    from cpecan_tpu.utils import metrics
 
     pyrng = random.Random(5)
     import cpecan_tpu.utils.symbols as sym
@@ -395,13 +509,43 @@ def bench_msa(baseline: float, n_seqs: int = 20, seq_len: int = 500) -> dict:
                                     match_gamma=0.0, p=p, seed=0)
         assert len(ma.column_list()) > 0
 
-    dt = _time_reps(run, reps=3, warmup=1)
+    dt = _time_reps(run, reps=reps, warmup=1)
+    cells = _metered_cells(run)
+    snap = metrics.snapshot()["stages"]
+    fb_s = snap.get("fb_pass", {}).get("seconds", 0.0)
+    merge_s = snap.get("msa_merge", {}).get("seconds", 0.0)
     return {
         "metric": f"msa_{n_seqs}x{seq_len}_e2e",
         "value": round(dt, 3),
         "unit": "s",
-        "vs_baseline": None,
+        "vs_baseline": round(cells / baseline / dt, 2),
+        "pair_posterior_cells_per_sec": round(cells / dt),
+        "device_posterior_seconds": round(fb_s, 3),
+        "host_merge_seconds": round(merge_s, 3),
     }
+
+
+# ------------------------------------ config 5b: MSA at BASELINE scale
+
+
+def bench_msa_100x1kb(baseline: float) -> dict:
+    """BASELINE config #5 at its stated scale: progressive multiple
+    alignment of 100 x 1 kb sequences end to end (reference comparator:
+    makeAlignment, impl/multipleAligner.c:887-939)."""
+    return {**bench_msa(baseline, n_seqs=100, seq_len=1000, reps=1),
+            }
+
+
+# --------------------------- reference-scale long pair (ENCODE analog)
+
+
+def bench_long_500kb(baseline: float, n: int = 500_000) -> dict:
+    """Reference-scale integration run: one ~0.5 Mb evolved pair through
+    the full anchored pipeline (the regime of the reference's long test,
+    tests/pairwiseAlignerLongTest.c:40-121, which aligns ~0.5 Mb ENCODE
+    pairs and logs wall-clock + sensitivity/specificity)."""
+    return {**bench_anchored_50kb(baseline, n=n, reps=1),
+            "metric": "long_500kb_e2e"}
 
 
 CONFIGS = {

@@ -223,28 +223,41 @@ def runs_to_anchor_pairs(runs: np.ndarray, trim: int, expansion: int) -> list:
 
 def filter_to_remove_overlap(pairs: list) -> list:
     """Keep the maximal subset of pairs strictly monotone in both coords.
-    Exact port of the two-pass backward/forward filter (reference
-    filterToRemoveOverlap, impl/pairwiseAligner.c:1095-1135). Input must be
-    sorted ascending (tuple order)."""
-    # backward pass: pairs strictly below the running minima
-    keep_set = set()
-    px = py = np.iinfo(np.int64).max
-    for pair in reversed(pairs):
-        x, y = pair[0], pair[1]
-        if x < px and y < py:
-            keep_set.add((x, y))
-        px = min(x, px)
-        py = min(y, py)
-    # forward pass: strictly above the running maxima and in the set
-    out = []
-    px = py = np.iinfo(np.int64).min
-    for pair in pairs:
-        x, y = pair[0], pair[1]
-        if x > px and y > py and (x, y) in keep_set:
-            out.append(pair)
-        px = max(x, px)
-        py = max(y, py)
-    return out
+    Same semantics as the two-pass backward/forward filter (reference
+    filterToRemoveOverlap, impl/pairwiseAligner.c:1095-1135), vectorized:
+    the backward pass keeps pairs strictly below the exclusive suffix
+    minima of both coords, the forward pass those strictly above the
+    exclusive prefix maxima — prefix/suffix scans instead of the running
+    min/max loop. (Index-wise AND of the two passes equals the
+    reference's value-set intersection: a duplicate (x, y) can never pass
+    the strict prefix-max test twice.) Input must be sorted ascending
+    (tuple order)."""
+    n = len(pairs)
+    if n <= 1:
+        return list(pairs)
+    xs = np.fromiter((p[0] for p in pairs), np.int64, n)
+    ys = np.fromiter((p[1] for p in pairs), np.int64, n)
+    # exact duplicates (adjacent when sorted): the reference's value-set
+    # intersection keeps the first copy; collapse to one before the scans
+    first = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+    if not first.all():
+        srcs = np.flatnonzero(first)
+        xs, ys = xs[srcs], ys[srcs]
+    else:
+        srcs = None
+    big = np.iinfo(np.int64).max
+    small = np.iinfo(np.int64).min
+    # exclusive suffix minima (backward pass running minima)
+    suf_x = np.r_[np.minimum.accumulate(xs[::-1])[::-1][1:], big]
+    suf_y = np.r_[np.minimum.accumulate(ys[::-1])[::-1][1:], big]
+    # exclusive prefix maxima (forward pass running maxima)
+    pre_x = np.r_[small, np.maximum.accumulate(xs)[:-1]]
+    pre_y = np.r_[small, np.maximum.accumulate(ys)[:-1]]
+    keep = (xs < suf_x) & (ys < suf_y) & (xs > pre_x) & (ys > pre_y)
+    kept = np.flatnonzero(keep)
+    if srcs is not None:
+        kept = srcs[kept]
+    return [pairs[i] for i in kept]
 
 
 # Max mismatch stretch bridged when merging same-diagonal chained runs

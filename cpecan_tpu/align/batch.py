@@ -27,7 +27,7 @@ from cpecan_tpu.align.pairwise import (
 from cpecan_tpu.ops import fb_batch, fb_streaming
 from cpecan_tpu.ops import pairs as pairs_mod
 from cpecan_tpu.ops.band import construct_band, full_band, pad_band
-from cpecan_tpu.utils import metrics
+from cpecan_tpu.utils import hostlink, metrics
 from cpecan_tpu.utils.symbols import encode
 
 
@@ -221,7 +221,8 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
         nonlocal pending, pending_bytes
         if not pending:
             return
-        counts = jax.device_get([cd for (_i, _o, _out, cd) in pending])
+        counts = hostlink.device_get_pipelined(
+            [cd for (_i, _o, _out, cd) in pending])
         comp = []
         for (items, offs, out, _cd), cnts in zip(pending, counts):
             per_key = []
@@ -231,7 +232,7 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
                 per_key.append(_compact_above(out[k], p.threshold,
                                               cap=cap, exact=exact))
             comp.append(per_key)
-        fetched = jax.device_get(comp)
+        fetched = hostlink.device_get_pipelined(comp)
         for (items, offs, out, _cd), per_key in zip(pending, fetched):
             Wp = out[keys[0]].shape[2]
             P1 = out[keys[0]].shape[1]

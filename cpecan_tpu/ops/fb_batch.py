@@ -135,7 +135,7 @@ def fb_pass_batch(params, sx, sy, offsets, widths, lx, ly,
 
         if nz is None:
             # must happen outside shard_map/jit: params are tracers inside
-            nz = fb_wavefront.nonzero_transitions(jax.device_get(params["t"]))
+            nz = fb_wavefront.nonzero_transitions_of(params["t"])
         wf = functools.partial(fb_wavefront.fb_pass_batch_wavefront,
                                mode=mode, width=width, nz=nz)
         if engine == "wavefront_sharded":

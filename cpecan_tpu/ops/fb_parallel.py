@@ -42,7 +42,6 @@ compacted on device, and one batched device_get fetches everything.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpecan_tpu.ops import compact
+from cpecan_tpu.utils import hostlink
 from cpecan_tpu.ops import fb as _fb
 from cpecan_tpu.ops import fb_wavefront as _wf
 from cpecan_tpu.ops.fb_streaming import _host_frame, _pad_frame
@@ -72,11 +72,12 @@ def burnin_rows(p) -> int:
     """Burn-in halo rows from the live config: the reference trusts a
     freshly-seeded backward matrix after traceBackDiagonals diagonals
     (impl/pairwiseAligner.c:797-817). The slowest-mixing direction is a
-    long-gap state (extension prob ~0.99, memory ~100 rows), so use 4x
-    the reference's margin with a 128-row floor — boundary posterior
-    error stays within the ~1e-2 wobble the reference's own seeding
-    accepts, at ~25% halo overhead on the default window."""
-    return max(4 * int(p.traceBackDiagonals), 128)
+    long-gap state (extension prob ~0.99), so use 2.4x the reference's
+    margin with a 96-row floor — measured on evolved 50 kb pairs the
+    thresholded entry set is IDENTICAL from 96 through 160 halo rows
+    (the boundary error decays geometrically and sits far below the
+    emission threshold), and the halo is pure overhead on every window."""
+    return max((12 * int(p.traceBackDiagonals)) // 5, 96)
 
 
 def _neutral_row(jlo_row, jhi_row, S, W):
@@ -87,18 +88,23 @@ def _neutral_row(jlo_row, jhi_row, S, W):
 
 
 def _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
-              s, k0, K, LY, L, Kp, W, pad_off):
+              s, k0, base, K, LY, L, Kp, W, pad_off):
     """Streams for one window's rows [s, s+Kp); posterior emission is
-    masked to the window's own rows [k0, k0+K)."""
+    masked to the window's own rows [k0, k0+K).
+
+    `base` rebases the window onto a local W-lane frame: slot j' here is
+    global frame slot j' + base (the global frame is as wide as the
+    band's widest row, but a 512-row window only spans its local drift —
+    narrow-band windows run on narrow tiles; see fb_pass_parallel)."""
     prob = _fb._prob_params(params)
     sl = lambda a, off=0: jax.lax.dynamic_slice(a, (s + off,), (Kp,))
-    xoff = sl(xoff_g)
+    xoff = sl(xoff_g) + base
     delta = sl(delta_g)
     d_km1 = sl(delta_g, -1)
     d1 = sl(delta_g, 1)
     d2 = sl(delta_g, 2)
-    jlo = sl(jlo_g)
-    jhi = sl(jhi_g)
+    jlo = sl(jlo_g) - base
+    jhi = sl(jhi_g) - base
     ks = s + jnp.arange(Kp, dtype=jnp.int32)
     wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W,
                                       ks=ks, pad_off=pad_off)
@@ -136,15 +142,16 @@ def _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
 @functools.partial(
     jax.jit,
     static_argnames=("S", "nz", "K", "Kp", "W", "chunk", "group", "mode",
-                     "interpret", "cap", "exact"))
+                     "interpret", "pad_off"))
 def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
-                   s_arr, k0_arr, LY, L, ragged_left, ragged_right, thr,
-                   S, nz, K, Kp, W, chunk, group, mode, interpret, cap,
-                   exact=False):
+                   s_arr, k0_arr, base_arr, LY, L, ragged_left,
+                   ragged_right, thr,
+                   S, nz, K, Kp, W, chunk, group, mode, interpret,
+                   pad_off):
     """One slice of windows through the wavefront kernels, grouped on the
-    sublane dimension. Returns compacted >= thr posterior entries per key
-    plus per-key overflow counts (exact=True switches to the sort-based
-    compaction escalation path, see ops/compact.py)."""
+    sublane dimension. Returns, per key, the dense window-major posterior
+    rows (left on device) plus the >= thr entry count and per-row max for
+    tight-capacity compaction by the caller."""
     nWs = s_arr.shape[0]
     G = group
     NG = nWs // G
@@ -153,10 +160,10 @@ def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     t_prob = jnp.exp(params["t"]).reshape(3 * S, S)
 
     pre = jax.vmap(
-        lambda s, k0: _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g,
-                                jlo_g, jhi_g, s, k0, K, LY, L, Kp, W,
-                                pad_off=W + 1)
-    )(s_arr, k0_arr)
+        lambda s, k0, base: _prep_one(params, sx_pad, sy_pad, xoff_g,
+                                      delta_g, jlo_g, jhi_g, s, k0, base,
+                                      K, LY, L, Kp, W, pad_off=pad_off)
+    )(s_arr, k0_arr, base_arr)
 
     # per-window carries: exact start for the window at row 1, neutral
     # uniform in-band two rows before the range otherwise
@@ -164,35 +171,39 @@ def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     F0 = jnp.zeros((S, W), jnp.float32).at[:, 0].set(start_vec)
     F0 = F0 / jnp.maximum(jnp.max(F0), 1e-30)
 
-    def fwd_carry(s):
+    def fwd_carry(s, base):
         exact = s == 1
         i2 = jnp.maximum(s - 2, 0)
-        n1 = _neutral_row(jlo_g[s - 1], jhi_g[s - 1], S, W)
-        n2 = _neutral_row(jlo_g[i2], jhi_g[i2], S, W)
+        n1 = _neutral_row(jlo_g[s - 1] - base, jhi_g[s - 1] - base, S, W)
+        n2 = _neutral_row(jlo_g[i2] - base, jhi_g[i2] - base, S, W)
         f1 = jnp.where(exact, F0, n1)
         f2 = jnp.where(exact, jnp.zeros_like(F0), n2)
         return f1, f2, jnp.ones((1,), jnp.float32)
 
-    f1, f2, invm = jax.vmap(fwd_carry)(s_arr)
+    f1, f2, invm = jax.vmap(fwd_carry)(s_arr, base_arr)
 
-    def bwd_carry(s):
+    def bwd_carry(s, base):
         top = s + Kp  # first row ABOVE the range
         natural = top > L  # range reaches past L: exact end seeding
         b1 = jnp.where(natural, 0.0, 1.0) * _neutral_row(
-            jlo_g[jnp.minimum(top, jlo_g.shape[0] - 1)],
-            jhi_g[jnp.minimum(top, jhi_g.shape[0] - 1)], S, W)
+            jlo_g[jnp.minimum(top, jlo_g.shape[0] - 1)] - base,
+            jhi_g[jnp.minimum(top, jhi_g.shape[0] - 1)] - base, S, W)
         b2 = jnp.where(natural, 0.0, 1.0) * _neutral_row(
-            jlo_g[jnp.minimum(top + 1, jlo_g.shape[0] - 1)],
-            jhi_g[jnp.minimum(top + 1, jhi_g.shape[0] - 1)], S, W)
+            jlo_g[jnp.minimum(top + 1, jlo_g.shape[0] - 1)] - base,
+            jhi_g[jnp.minimum(top + 1, jhi_g.shape[0] - 1)] - base, S, W)
         return b1, b2, jnp.ones((1,), jnp.float32)
 
-    b1c, b2c, invb = jax.vmap(bwd_carry)(s_arr)
+    b1c, b2c, invb = jax.vmap(bwd_carry)(s_arr, base_arr)
 
     end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
     jsW = jnp.arange(W, dtype=jnp.int32)
-    sokL = ((jsW >= jlo_g[L]) & (jsW <= jhi_g[L])).astype(jnp.float32)
-    end_row_one = end_vec[:, None] * sokL[None, :]
-    end_row = jnp.broadcast_to(end_row_one[None], (nWs, S, W))
+
+    def end_row_one(base):
+        sokL = ((jsW >= jlo_g[L] - base)
+                & (jsW <= jhi_g[L] - base)).astype(jnp.float32)
+        return end_vec[:, None] * sokL[None, :]
+
+    end_row = jax.vmap(end_row_one)(base_arr)
 
     def grp_row(arr):  # (nWs, Kp, [W]) -> (NG, Kp, G, [W])
         return jnp.transpose(
@@ -307,14 +318,25 @@ def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     out = {}
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
     for k, arr in zip(keys, outs[:n_out]):
-        # (NG, Kp, G, W) -> (nWs, Kp, W) window-major
+        # (NG, Kp, G, W) -> (nWs, Kp, W) window-major; entries stay on
+        # device — the host fetches counts first, then compacts at tight
+        # capacity (the link is bandwidth-bound at ~50 MB/s, so fetched
+        # bytes, not round trips, dominate; see fb_pass_parallel)
         win = jnp.transpose(arr, (0, 2, 1, 3)).reshape(nWs * Kp, W)
-        if exact:
-            idx, vals, count = compact.compact_rows_exact(win, thr, cap)
-            out[k] = (idx, vals, count, count)
-        else:
-            out[k] = compact.compact_rows(win, thr, cap)
+        hit = win >= thr
+        rows = jnp.sum(hit, axis=-1)
+        out[k] = (win, jnp.sum(rows, dtype=jnp.int32),
+                  jnp.max(rows).astype(jnp.int32))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "exact"))
+def _compact_win_jit(win, thr, cap, exact=False):
+    if exact:
+        idx, vals, count = compact.compact_rows_exact(win, thr, cap)
+        return idx, vals
+    idx, vals, _count, _row_max = compact.compact_rows(win, thr, cap)
+    return idx, vals
 
 
 def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
@@ -333,7 +355,7 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         raise ValueError(f"parallel engine does not support mode={mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nz = _wf.nonzero_transitions(jax.device_get(params["t"]))
+    nz = _wf.nonzero_transitions_of(params["t"])
     S = int(params["start"].shape[0])
     W = int(width)
     K = int(window) if window else WINDOW_ROWS
@@ -345,18 +367,17 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
 
     nW = -(-L // K)
     rows_total = 1 + nW * K
-
-    group, chunk = _wf.pick_tiles(nW, W, K + 2 * B, S, mode)
-    Kp = -(-(K + 2 * B) // chunk) * chunk
+    KpMAX = K + 2 * B + _wf.CHUNK  # upper bound on any bucket's Kp
 
     xoff, delta, jlo, jhi = _host_frame(np.asarray(offsets),
                                         np.asarray(widths))
     xoff, delta, jlo, jhi = _pad_frame(xoff, delta, jlo, jhi,
-                                       rows_total + Kp)
+                                       rows_total + KpMAX)
 
     sx = np.asarray(seq_x_codes, np.int8)
     sy = np.asarray(seq_y_codes, np.int8)
-    pad = np.full(W + 1, _fb._SENTINEL, np.int8)
+    pad_off = W + 1
+    pad = np.full(pad_off, _fb._SENTINEL, np.int8)
     sx_pad = jnp.asarray(np.concatenate([pad, sx, pad]))
     sy_pad = jnp.asarray(np.concatenate([pad, sy[::-1], pad]))
     LY = int(ly)
@@ -367,60 +388,92 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
 
     k0s = 1 + K * np.arange(nW, dtype=np.int32)
     ss = np.maximum(k0s - B, 1).astype(np.int32)
-    # pad the window list to a multiple of the group; pad windows emit
-    # nothing (their emission range sits beyond L on empty band rows)
-    nWp = -(-nW // group) * group
-    if nWp > nW:
-        padk = np.full(nWp - nW, rows_total, np.int32)
-        k0s = np.concatenate([k0s, padk])
-        ss = np.concatenate([ss, padk])
 
-    # slice the window list so one slice's F block fits the budget
-    per_win = Kp * S * W * 4
-    wmax = max(group, (_F_BUDGET // per_win) // group * group)
+    # Per-window frame rebasing: the global frame is as wide as the
+    # band's WIDEST row (a single wide anchor gap pays on every diagonal
+    # of the pair — measured 9x lane waste on evolved 50 kb pairs), but a
+    # window only spans its own rows' slots. Rebase each window to
+    # [base, base + local_width) and bucket windows by lane-tile width so
+    # narrow-band stretches run on narrow tiles. Window 0 keeps base=0
+    # (its exact start carry F0 addresses global slot 0).
+    bases = np.zeros(nW, np.int32)
+    locw = np.empty(nW, np.int32)
+    for w in range(nW):
+        s = int(ss[w])
+        lo_w = int(jlo[s:s + KpMAX].min()) if w > 0 else 0
+        hi_w = int(jhi[s:s + KpMAX].max())
+        bases[w] = max(lo_w, 0)
+        locw[w] = max(hi_w - bases[w] + 1, 1)
+
+    def _lane_bucket(wl: int) -> int:
+        if W <= 128:
+            return W
+        return min(((int(wl) + 127) // 128) * 128, W)
+
+    buckets: dict = {}
+    for w in range(nW):
+        buckets.setdefault(_lane_bucket(locw[w]), []).append(w)
 
     thr = max(float(threshold), 1e-9)
     n_out = 3 if mode == "posterior_all" else 1
-    cap_env = os.environ.get("CPECAN_TPU_PAR_CAP")
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
 
-    def launch(lo, hi, cap, exact=False):
-        return _par_slice_jit(
-            params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
-            jnp.asarray(ss[lo:hi]), jnp.asarray(k0s[lo:hi]),
-            jnp.int32(LY), jnp.int32(L), bool(ragged_left),
-            bool(ragged_right), jnp.float32(thr),
-            S=S, nz=nz, K=K, Kp=Kp, W=W, chunk=chunk, group=group,
-            mode=mode, interpret=interpret, cap=cap, exact=exact)
+    # Count-first host-link discipline (the link is bandwidth-bound at
+    # ~50 MB/s with ~13-23 ms latency): enqueue every bucket's slices,
+    # fetch only the tiny entry counts, then compact each slice at the
+    # tight power-of-two capacity so the big fetch carries just the
+    # thresholded entries.
+    results = []  # (ss_b, bases_b, Kp_b, Wb, launch result)
+    for Wb in sorted(buckets):
+        wins = buckets[Wb]
+        nWb = len(wins)
+        group, chunk = _wf.pick_tiles(nWb, Wb, K + 2 * B, S, mode)
+        Kp = -(-(K + 2 * B) // chunk) * chunk
+        nWbp = -(-nWb // group) * group
+        ss_b = np.full(nWbp, rows_total, np.int32)
+        k0_b = np.full(nWbp, rows_total, np.int32)
+        base_b = np.zeros(nWbp, np.int32)
+        ss_b[:nWb] = ss[wins]
+        k0_b[:nWb] = k0s[wins]
+        base_b[:nWb] = bases[wins]
+        per_win = Kp * S * Wb * 4
+        wmax = max(group, (_F_BUDGET // per_win) // group * group)
+        for lo in range(0, nWbp, wmax):
+            hi = min(lo + wmax, nWbp)
+            r = _par_slice_jit(
+                params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
+                jnp.asarray(ss_b[lo:hi]), jnp.asarray(k0_b[lo:hi]),
+                jnp.asarray(base_b[lo:hi]),
+                jnp.int32(LY), jnp.int32(L), bool(ragged_left),
+                bool(ragged_right), jnp.float32(thr),
+                S=S, nz=nz, K=K, Kp=Kp, W=Wb, chunk=chunk, group=group,
+                mode=mode, interpret=interpret, pad_off=pad_off)
+            results.append((ss_b[lo:hi], base_b[lo:hi], Kp, Wb, r))
 
-    slices = [(lo, min(lo + wmax, nWp)) for lo in range(0, nWp, wmax)]
-    results = []
-    for lo, hi in slices:
-        n_slice = hi - lo
-        cap = int(cap_env) if cap_env else int(
-            min(n_slice * Kp * W, max(8192, 8 * K * n_slice)))
-        results.append((lo, cap, launch(lo, hi, cap)))
+    counts = hostlink.device_get_pipelined(
+        [[(r[k][1], r[k][2]) for k in keys]
+         for (_s, _b, _kp, _wb, r) in results])
+    comp = []
+    for ((_s, _b, _kp, _wb, r), cnt) in zip(results, counts):
+        per = []
+        for k, (count, row_max) in zip(keys, cnt):
+            cap = 1 << max(6, int(np.ceil(np.log2(max(int(count), 2)))))
+            exact = int(row_max) > compact.DEFAULT_SLOTS
+            per.append(_compact_win_jit(r[k][0], jnp.float32(thr),
+                                        cap=cap, exact=exact))
+        comp.append(per)
+    fetched = hostlink.device_get_pipelined(comp)
 
-    fetched = jax.device_get([r for (_lo, _cap, r) in results])
     entries = {k: ([], [], []) for k in keys}
-    for (lo, cap, _r), res in zip(results, fetched):
-        need = max(int(res[k][2]) for k in keys)
-        row_max = max(int(res[k][3]) for k in keys)
-        if need > cap or row_max > compact.DEFAULT_SLOTS:
-            # rare: per-row slots or capacity overflowed — escalate to
-            # the exact sort-based compaction with enough capacity
-            cap2 = 1 << int(np.ceil(np.log2(max(need, 2))))
-            hi = min(lo + wmax, nWp)
-            res = jax.device_get(launch(lo, hi, cap2, exact=True))
-        for k in keys:
-            idx, vals = res[k][0], res[k][1]
+    for (ss_sl, base_sl, Kp, Wb, _r), per in zip(results, fetched):
+        for k, (idx, vals) in zip(keys, per):
             sel = idx >= 0
             idx, vals = idx[sel].astype(np.int64), vals[sel]
-            win = idx // (Kp * W)
-            rem = idx % (Kp * W)
-            ks_loc = rem // W
-            js = (rem % W).astype(np.int64)
-            ks = ss[lo + win] + ks_loc
+            win = idx // (Kp * Wb)
+            rem = idx % (Kp * Wb)
+            ks_loc = rem // Wb
+            js = (rem % Wb).astype(np.int64) + base_sl[win]
+            ks = ss_sl[win] + ks_loc
             entries[k][0].append(vals)
             entries[k][1].append(ks)
             entries[k][2].append(js)

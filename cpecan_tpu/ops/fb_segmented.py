@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpecan_tpu.ops import compact
+from cpecan_tpu.utils import hostlink
 from cpecan_tpu.ops import fb as _fb
 from cpecan_tpu.ops import fb_wavefront as _wf
 from cpecan_tpu.ops.fb_streaming import _host_frame, _pad_frame
@@ -472,7 +473,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
         raise ValueError(f"segmented engine does not support mode={mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nz = _wf.nonzero_transitions(jax.device_get(params["t"]))
+    nz = _wf.nonzero_transitions_of(params["t"])
     S = int(params["start"].shape[0])
     W = int(width)
     chunk = seg_chunk(W)
@@ -516,7 +517,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
             S=S, nz=nz, K=K, W=W, chunk=chunk, interpret=interpret)
         mf_parts.append(mf_win)
         fe_parts.append(fe_win)
-    mf_h, fe_h, m0_h = jax.device_get(
+    mf_h, fe_h, m0_h = hostlink.device_get_pipelined(
         (jnp.concatenate(mf_parts), jnp.concatenate(fe_parts), m0log))
     mf_full = np.concatenate([np.asarray(m0_h, np.float64)[None],
                               mf_h.astype(np.float64)])  # rows 0..nW*K
@@ -555,7 +556,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
             emis_acc = (res["emis"] if emis_acc is None
                         else emis_acc + res["emis"])
             rows_out.append((k0, res["mb"], res["total_raw"]))
-        fetched = jax.device_get(
+        fetched = hostlink.device_get_pipelined(
             (trans_acc, emis_acc, [(r[1], r[2]) for r in rows_out]))
         mb = np.zeros(L + 1)
         total_raw = np.full(L + 1, -np.inf)
@@ -600,7 +601,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
     mb = np.zeros(L + 1)
     total_raw = np.full(L + 1, -np.inf)
     entries = {k: ([], [], []) for k in keys}
-    fetched = jax.device_get([r for (_w, _k0, r) in results])
+    fetched = hostlink.device_get_pipelined([r for (_w, _k0, r) in results])
     for (w, k0, _r), res in zip(results, fetched):
         hi = min(k0 + K, L + 1)
         n_rows = hi - k0

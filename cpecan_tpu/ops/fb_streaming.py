@@ -318,7 +318,7 @@ def fb_pass_streaming(params, seq_x_codes, seq_y_codes,
         return out
 
     # ---- pass B: backward windows high-to-low ----
-    S = int(np.asarray(jax.device_get(params["start"])).shape[0])
+    S = int(params["start"].shape[0])
     zero_b = (jnp.zeros((S, W), jnp.float32), jnp.zeros((S, W), jnp.float32),
               jnp.float32(1.0))
     carry_b = zero_b

@@ -106,6 +106,29 @@ def nonzero_transitions(t_log: np.ndarray):
     return tuple(triples)
 
 
+# Device-transition-tensor -> triples cache: computing the triples costs a
+# device->host fetch (~13-23 ms on the tunneled link), paid once per
+# distinct tensor instead of once per engine launch. Strong refs keep the
+# id() keys valid; the model tensor is tiny and there are only a handful
+# of live StateMachines per process.
+_NZ_CACHE: dict = {}
+
+
+def nonzero_transitions_of(t_dev):
+    """nonzero_transitions of a (possibly device-resident) transition
+    tensor, cached by array identity."""
+    import jax
+
+    hit = _NZ_CACHE.get(id(t_dev))
+    if hit is not None and hit[0] is t_dev:
+        return hit[1]
+    nz = nonzero_transitions(jax.device_get(t_dev))
+    if len(_NZ_CACHE) > 64:
+        _NZ_CACHE.clear()
+    _NZ_CACHE[id(t_dev)] = (t_dev, nz)
+    return nz
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -1018,7 +1041,7 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if nz is None:
-        nz = nonzero_transitions(jax.device_get(params["t"]))
+        nz = nonzero_transitions_of(params["t"])
     S = int(params["start"].shape[0])
     P = offsets.shape[1] - 1
     W = int(width)
