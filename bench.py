@@ -553,28 +553,67 @@ CONFIGS = {
     "realign_1kb": bench_realign_1kb,
     "read_pairs_1kb": bench_read_pairs_1kb,
     "anchored_50kb": bench_anchored_50kb,
+    "long_500kb": bench_long_500kb,
     "em": bench_em,
+    "em_scaling": bench_em_scaling,
     "msa": bench_msa,
+    "msa_100x1kb": bench_msa_100x1kb,
 }
 
 _README_BEGIN = "<!-- bench:begin -->"
 _README_END = "<!-- bench:end -->"
 
 
+_CONFIG_LABELS = {
+    "headline": "DP cells/s/chip, B=256 banded 1 kb pairs (headline)",
+    "realign_1kb": "realign CLI, one 1 kb record end to end",
+    "read_pairs_1kb": "1024 x 1 kb full-band pairs, batched decode",
+    "anchored_50kb": "50 kb anchored pair end to end",
+    "long_500kb": "500 kb anchored pair end to end (ENCODE-scale)",
+    "em": "EM iteration, 64 x 1 kb corpus",
+    "em_scaling": "EM data-parallel scaling, 8-device virtual mesh",
+    "msa": "progressive MSA, 20 x 500 bp",
+    "msa_100x1kb": "progressive MSA, 100 x 1 kb (BASELINE #5 scale)",
+}
+
+
 def update_readme(report: dict) -> None:
     """Regenerate the README performance table between the bench markers
-    from a measured BENCH_ALL report."""
-    by_name = {c["name"]: c for c in report["configs"]}
+    from a measured BENCH_ALL report. vs_baseline for end-to-end configs
+    is derived from the measured single-core C cell rate on the same
+    in-band cells (the reference publishes no numbers, BASELINE.md)."""
     backend = report["backend"]
 
-    def fmt(name, key="value", scale=1.0, digits=2):
-        c = by_name.get(name)
-        if c is None or c.get(key) is None:
+    def fmt_val(v, digits=2):
+        if v is None:
             return "—"
-        v = c[key] * scale
         if v >= 1e6:
             return f"{v / 1e6:.0f}M"
         return f"{v:.{digits}f}"
+
+    rows = []
+    for c in report["configs"]:
+        label = _CONFIG_LABELS.get(c["name"], c["name"])
+        extras = []
+        if c.get("dp_cells_per_sec"):
+            extras.append(f"{fmt_val(c['dp_cells_per_sec'])} cells/s")
+        if c.get("sensitivity") is not None:
+            extras.append(f"sens {c['sensitivity']} / spec "
+                          f"{c['specificity']}")
+        if c.get("posterior_parity_max_abs") is not None:
+            extras.append(
+                f"posterior parity {c['posterior_parity_max_abs']:g}")
+        if "points" in c:
+            pts = ", ".join(
+                f"{nd} dev: {p['iters_per_sec']:.2f} iters/s"
+                for nd, p in sorted(c["points"].items())
+                if "iters_per_sec" in p)
+            extras.append(pts)
+        detail = f" ({'; '.join(extras)})" if extras else ""
+        vs = c.get("vs_baseline")
+        vs_s = f"{vs}x" if vs is not None else "—"
+        rows.append(f"| {label} | {fmt_val(c['value'], 3)} "
+                    f"{c['unit']}{detail} | {vs_s} |")
 
     lines = [
         _README_BEGIN,
@@ -584,26 +623,7 @@ def update_readme(report: dict) -> None:
         "",
         "| BASELINE.md config | result | vs single-core C |",
         "|---|---|---|",
-        f"| DP cells/s/chip, B=256 banded 1 kb pairs (headline) | "
-        f"{fmt('headline')} cells/s | "
-        f"{by_name['headline']['vs_baseline']}x |",
-        f"| realign CLI, one 1 kb record end to end | "
-        f"{fmt('realign_1kb', digits=3)} s (posterior parity "
-        f"{by_name['realign_1kb']['posterior_parity_max_abs']:g}) | — |",
-        f"| 1024 x 1 kb full-band pairs, batched decode | "
-        f"{fmt('read_pairs_1kb')} pairs/s "
-        f"({fmt('read_pairs_1kb', 'dp_cells_per_sec')} cells/s) | "
-        f"{by_name['read_pairs_1kb']['vs_baseline_cells']}x |",
-        f"| 50 kb anchored pair end to end | "
-        f"{fmt('anchored_50kb', digits=2)} s "
-        f"({fmt('anchored_50kb', 'dp_cells_per_sec')} cells/s, "
-        f"sens {by_name['anchored_50kb'].get('sensitivity', '—')} / "
-        f"spec {by_name['anchored_50kb'].get('specificity', '—')}) | "
-        f"{by_name['anchored_50kb']['vs_baseline_cells']}x |",
-        f"| EM iteration, 64 x 1 kb corpus | "
-        f"{fmt('em')} iters/s | — |",
-        f"| progressive MSA, 20 x 500 bp | "
-        f"{fmt('msa')} s | — |",
+        *rows,
         _README_END,
     ]
     path = os.path.join(HERE, "README.md")
@@ -642,9 +662,15 @@ def main():
     smoke_kwargs = {
         "read_pairs_1kb": {"n_pairs": 8},
         "anchored_50kb": {"n": 5000},
+        "long_500kb": {"n": 8000},
         "em": {"n_pairs": 4},
+        "em_scaling": {"n_pairs": 4, "seq_len": 200},
         "msa": {"n_seqs": 6, "seq_len": 100},
     } if args.smoke else {}
+    if args.smoke:
+        smoke_kwargs["msa_100x1kb"] = {}
+        CONFIGS["msa_100x1kb"] = lambda b: {
+            **bench_msa(b, n_seqs=8, seq_len=120, reps=1)}
     if args.smoke:
         global BATCH
         BATCH = 8

@@ -41,6 +41,7 @@ from cpecan_tpu.align.pairwise import _bucket, _width_bucket, _iterate_chunks
 from cpecan_tpu.io import cigar as cigar_io
 from cpecan_tpu.ops import fb_batch
 from cpecan_tpu.ops.band import construct_band, pad_band
+from cpecan_tpu.utils import metrics
 from cpecan_tpu.utils.retry import run_with_retries
 from cpecan_tpu.utils.symbols import encode
 
@@ -187,6 +188,7 @@ def expectation_step(sm: StateMachine, tasks: list,
             cb = np.cumsum(out["mb"][: L + 1][::-1])[::-1]
             hmm.likelihood += float(
                 np.sum(out["total_raw"][1 : L + 1] + cf[1:] + cb[1:]))
+            metrics.add("dp_cells", int(band.widths.sum()))
             continue
         buckets.setdefault((P, W), []).append((t, band))
 
@@ -214,6 +216,7 @@ def expectation_step(sm: StateMachine, tasks: list,
         rr = np.zeros(B_pad, bool)
         for i, (t, band) in enumerate(items):
             o, w, L = pad_band(band, P)
+            metrics.add("dp_cells", int(band.widths.sum()))
             offsets[i] = o
             widths[i] = w
             sx[i, : len(t.sub_x)] = encode(t.sub_x)

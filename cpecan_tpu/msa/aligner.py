@@ -27,6 +27,8 @@ from bisect import bisect_left, bisect_right, insort
 
 import numpy as np
 
+from cpecan_tpu.utils import metrics
+
 from cpecan_tpu.config import PairwiseAlignmentParameters
 from cpecan_tpu.models.state_machine import StateMachine
 from cpecan_tpu.msa.columns import ColumnStore, ColumnDag
@@ -564,11 +566,13 @@ def make_alignment_using_all_pairs(sm: StateMachine, seq_frags,
     scores = [(sc, s1, s2) for sc, (s1, s2) in zip(got, id_pairs)]
     mpairs = (np.concatenate(pair_lists) if pair_lists
               else np.empty(0, dtype=MULTIPLE_PAIR_DTYPE))
-    if n == 2 or use_progressive_merging:
-        store = get_multiple_sequence_alignment_progressive(
-            seq_frags, mpairs, match_gamma, scores)
-    else:
-        store = get_multiple_sequence_alignment(seq_frags, mpairs, match_gamma)
+    with metrics.stage("msa_merge"):
+        if n == 2 or use_progressive_merging:
+            store = get_multiple_sequence_alignment_progressive(
+                seq_frags, mpairs, match_gamma, scores)
+        else:
+            store = get_multiple_sequence_alignment(
+                seq_frags, mpairs, match_gamma)
     return MultipleAlignment(
         columns=store,
         aligned_pairs=filter_multiple_aligned_pairs(store, mpairs),
@@ -597,11 +601,13 @@ def make_alignment(sm: StateMachine, seq_frags, spanning_trees: int,
     while True:
         mpairs = (np.concatenate(pair_lists) if pair_lists
                   else np.empty(0, dtype=MULTIPLE_PAIR_DTYPE))
-        if n == 2 or use_progressive_merging:
-            store = get_multiple_sequence_alignment_progressive(
-                seq_frags, mpairs, match_gamma, chosen_scored)
-        else:
-            store = get_multiple_sequence_alignment(seq_frags, mpairs, match_gamma)
+        with metrics.stage("msa_merge"):
+            if n == 2 or use_progressive_merging:
+                store = get_multiple_sequence_alignment_progressive(
+                    seq_frags, mpairs, match_gamma, chosen_scored)
+            else:
+                store = get_multiple_sequence_alignment(
+                    seq_frags, mpairs, match_gamma)
         iteration += 1
         if iteration >= spanning_trees:
             return MultipleAlignment(

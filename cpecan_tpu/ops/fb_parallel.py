@@ -440,14 +440,26 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         wmax = max(group, (_F_BUDGET // per_win) // group * group)
         for lo in range(0, nWbp, wmax):
             hi = min(lo + wmax, nWbp)
-            r = _par_slice_jit(
-                params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d, jhi_d,
-                jnp.asarray(ss_b[lo:hi]), jnp.asarray(k0_b[lo:hi]),
-                jnp.asarray(base_b[lo:hi]),
-                jnp.int32(LY), jnp.int32(L), bool(ragged_left),
-                bool(ragged_right), jnp.float32(thr),
-                S=S, nz=nz, K=K, Kp=Kp, W=Wb, chunk=chunk, group=group,
-                mode=mode, interpret=interpret, pad_off=pad_off)
+            while True:
+                try:
+                    r = _par_slice_jit(
+                        params, sx_pad, sy_pad, xoff_d, delta_d, jlo_d,
+                        jhi_d,
+                        jnp.asarray(ss_b[lo:hi]), jnp.asarray(k0_b[lo:hi]),
+                        jnp.asarray(base_b[lo:hi]),
+                        jnp.int32(LY), jnp.int32(L), bool(ragged_left),
+                        bool(ragged_right), jnp.float32(thr),
+                        S=S, nz=nz, K=K, Kp=Kp, W=Wb, chunk=chunk,
+                        group=group, mode=mode, interpret=interpret,
+                        pad_off=pad_off)
+                    break
+                except Exception as e:  # VMEM compile OOM: self-heal
+                    smaller = (_wf.shrink_tiles(group, chunk, Wb)
+                               if _wf._is_vmem_oom(e) else None)
+                    if smaller is None:
+                        raise
+                    group, chunk = smaller
+                    Kp = -(-(K + 2 * B) // chunk) * chunk
             results.append((ss_b[lo:hi], base_b[lo:hi], Kp, Wb, r))
 
     counts = hostlink.device_get_pipelined(

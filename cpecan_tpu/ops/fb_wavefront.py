@@ -983,9 +983,79 @@ def supported(mode: str) -> bool:
 # reads, shift setup — amortizes over more sublane tiles as G grows;
 # vector-issue cost scales linearly so gains flatten out).
 _GROUP_SPEED = {8: 1.00, 16: 1.26, 32: 1.47, 64: 1.55, 128: 1.60}
+
 # VMEM envelope for one double-buffered stream block, in (G * chunk * W)
-# cells: measured compile ceiling on v5e (fails at 2x this).
-_ENVELOPE = 131072
+# cells. The default is the measured v5e compile ceiling for the widest
+# kernel variant (backward with the segment-carry refs). It is NOT
+# trusted as folklore: a VMEM compile OOM at dispatch shrinks the tiles,
+# records the working envelope, and persists it per device kind
+# (~/.cache/cpecan_tpu_tiles.json), so the choice self-heals on other
+# TPU generations or future kernel stream changes.
+_ENVELOPE_DEFAULT = 98304
+_envelope_live: dict = {}
+
+
+def _tile_cache_path() -> str:
+    import os
+
+    return os.environ.get(
+        "CPECAN_TPU_TILE_CACHE",
+        os.path.expanduser("~/.cache/cpecan_tpu_tiles.json"))
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        return "unknown"
+
+
+def _envelope() -> int:
+    """Current VMEM envelope (cells per stream block): learned value for
+    this device kind if one was recorded, else the v5e default."""
+    kind = _device_kind()
+    if kind in _envelope_live:
+        return _envelope_live[kind]
+    import json
+    import os
+
+    env = _ENVELOPE_DEFAULT
+    try:
+        with open(_tile_cache_path()) as fh:
+            env = int(json.load(fh).get(kind, _ENVELOPE_DEFAULT))
+    except Exception:
+        pass
+    _envelope_live[kind] = env
+    return env
+
+
+def _record_envelope(cells: int) -> None:
+    """Persist a smaller working envelope after a VMEM compile OOM."""
+    kind = _device_kind()
+    _envelope_live[kind] = cells
+    import json
+    import os
+
+    path = _tile_cache_path()
+    data = {}
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except Exception:
+        pass
+    data[kind] = cells
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(data, fh)
+    except Exception:
+        pass
+
+
+def _is_vmem_oom(err: Exception) -> bool:
+    msg = str(err)
+    return ("memory space vmem" in msg or "scoped vmem" in msg
+            or "vmem limit" in msg.lower())
 
 
 def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
@@ -1000,9 +1070,10 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     """
     cap = 64 if mode == "expectation" else 128
     We = max(W, 128)  # VMEM blocks pad the lane (W) dimension to 128
+    envelope = _envelope()
     best, best_score = 8, 0.0
     g = 8
-    while g <= cap and g * 8 * We <= _ENVELOPE:
+    while g <= cap and g * 8 * We <= envelope:
         padded = -(-B // g) * g
         score = _GROUP_SPEED[g] * B / padded
         if score > best_score:
@@ -1018,7 +1089,22 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
         group //= 2
     # multiple of 8 so the expectation kernel's half-chunk and its 2-row
     # halo block indexing stay aligned
-    chunk = max(8, min(CHUNK, (_ENVELOPE // (group * We)) // 8 * 8))
+    chunk = max(8, min(CHUNK, (envelope // (group * We)) // 8 * 8))
+    return group, chunk
+
+
+def shrink_tiles(group: int, chunk: int, W: int):
+    """One VMEM-OOM healing step: halve the larger tile dimension and
+    record the smaller envelope so future pick_tiles calls start there.
+    Returns the new (group, chunk) or None when already minimal."""
+    We = max(W, 128)
+    if chunk > 8:
+        chunk //= 2
+    elif group > 8:
+        group //= 2
+    else:
+        return None
+    _record_envelope(group * chunk * We)
     return group, chunk
 
 
@@ -1066,9 +1152,18 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                     else jnp.concatenate([o[k] for o in outs], axis=0))
                 for k in outs[0]}
 
-    rows = -(-(P + 1) // chunk) * chunk
-    return _fb_wavefront_jit(
-        params, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(offsets),
-        jnp.asarray(widths), jnp.asarray(lx), jnp.asarray(ly),
-        jnp.asarray(ragged_left), jnp.asarray(ragged_right),
-        nz, S, mode, W, rows, bool(interpret), chunk, group)
+    while True:
+        rows = -(-(P + 1) // chunk) * chunk
+        try:
+            return _fb_wavefront_jit(
+                params, jnp.asarray(sx), jnp.asarray(sy),
+                jnp.asarray(offsets), jnp.asarray(widths), jnp.asarray(lx),
+                jnp.asarray(ly), jnp.asarray(ragged_left),
+                jnp.asarray(ragged_right),
+                nz, S, mode, W, rows, bool(interpret), chunk, group)
+        except Exception as e:  # VMEM compile OOM: shrink tiles and retry
+            smaller = (shrink_tiles(group, chunk, W)
+                       if _is_vmem_oom(e) else None)
+            if smaller is None:
+                raise
+            group, chunk = smaller

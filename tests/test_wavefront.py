@@ -124,19 +124,49 @@ def test_dispatch_scan_on_cpu():
 
 
 def test_pick_tiles_envelope():
-    """(group, chunk) stay inside the measured VMEM envelope counting the
+    """(group, chunk) stay inside the active VMEM envelope counting the
     128-lane padding of narrow bands, and shrink for the expectation
     kernel's per-group accumulators."""
-    from cpecan_tpu.ops.fb_wavefront import pick_tiles, _ENVELOPE
+    from cpecan_tpu.ops.fb_wavefront import pick_tiles, _envelope
     for W in (8, 32, 64, 128, 256, 512):
         for B in (1, 7, 64, 256, 1000):
             for mode in ("posterior_match", "expectation", "forward"):
                 g, c = pick_tiles(B, W, 2048, 5, mode)
-                assert g * c * max(W, 128) <= _ENVELOPE, (W, B, mode, g, c)
+                assert g * c * max(W, 128) <= _envelope(), (W, B, mode, g, c)
                 assert c % 8 == 0 and c >= 8
                 assert g >= 1 and (g & (g - 1)) == 0
                 if mode == "expectation":
                     assert g <= 64
+
+
+def test_shrink_tiles_heals_and_records(tmp_path, monkeypatch):
+    """A VMEM compile OOM shrinks (group, chunk) step by step down to the
+    (8, 8) floor and persists the learned envelope per device kind, so
+    later pick_tiles calls start inside it."""
+    from cpecan_tpu.ops import fb_wavefront as wf
+
+    monkeypatch.setenv("CPECAN_TPU_TILE_CACHE",
+                       str(tmp_path / "tiles.json"))
+    wf._envelope_live.clear()
+    try:
+        g, c = 128, 64
+        seen = []
+        while True:
+            nxt = wf.shrink_tiles(g, c, 128)
+            if nxt is None:
+                break
+            g, c = nxt
+            seen.append((g, c))
+            assert wf._envelope() == g * c * 128
+        assert (g, c) == (8, 8)
+        assert len(seen) >= 6  # chunk halves first, then group
+        # a fresh in-process state reloads the persisted envelope
+        wf._envelope_live.clear()
+        assert wf._envelope() == 8 * 8 * 128
+        g2, c2 = wf.pick_tiles(256, 128, 2048, 5, "posterior_match")
+        assert g2 * c2 * 128 <= 8 * 8 * 128
+    finally:
+        wf._envelope_live.clear()
 
 
 @pytest.mark.parametrize("mode", ["posterior_match", "expectation"])
