@@ -1,0 +1,21 @@
+/* Shim for sonLib's bioioC.h: fasta/tempfile helpers referenced by the
+ * blast-anchor path only (impl/pairwiseAligner.c:975,1022).  The parity
+ * harness keeps problems below the anchor threshold or passes anchors
+ * explicitly, so these are abort stubs. */
+#ifndef CPECAN_TPU_BIOIO_SHIM_H
+#define CPECAN_TPU_BIOIO_SHIM_H
+
+#include "sonLib.h"
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+void fastaWrite(char *sequence, char *header, FILE *file);
+char *getTempFile(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif

@@ -1,0 +1,470 @@
+/* Implementation of the minimal sonLib shim (see include/sonLib.h). */
+#define _GNU_SOURCE
+#include "sonLib.h"
+#include "bioioC.h"
+#include "pairwiseAlignment.h"
+
+/* ---- lists ---- */
+
+static void stList_ensure(stList *l, int64_t cap) {
+    if (l->capacity < cap) {
+        int64_t newCap = l->capacity < 8 ? 8 : l->capacity;
+        while (newCap < cap) {
+            newCap *= 2;
+        }
+        l->list = realloc(l->list, (size_t)newCap * sizeof(void *));
+        if (l->list == NULL) {
+            st_errAbort("shim: realloc failed");
+        }
+        l->capacity = newCap;
+    }
+}
+
+stList *stList_construct(void) {
+    return stList_construct3(0, NULL);
+}
+
+stList *stList_construct3(int64_t size, void (*destructFn)(void *)) {
+    stList *l = st_calloc(1, sizeof(stList));
+    l->destructFn = destructFn;
+    if (size > 0) {
+        stList_ensure(l, size);
+        memset(l->list, 0, (size_t)size * sizeof(void *));
+        l->length = size;
+    }
+    return l;
+}
+
+int64_t stList_length(stList *l) {
+    return l->length;
+}
+
+void *stList_get(stList *l, int64_t i) {
+    assert(i >= 0 && i < l->length);
+    return l->list[i];
+}
+
+void stList_set(stList *l, int64_t i, void *v) {
+    assert(i >= 0 && i < l->length);
+    l->list[i] = v;
+}
+
+void stList_append(stList *l, void *v) {
+    stList_ensure(l, l->length + 1);
+    l->list[l->length++] = v;
+}
+
+void stList_appendAll(stList *l, stList *other) {
+    for (int64_t i = 0; i < other->length; i++) {
+        stList_append(l, other->list[i]);
+    }
+}
+
+void *stList_pop(stList *l) {
+    assert(l->length > 0);
+    return l->list[--l->length];
+}
+
+void stList_reverse(stList *l) {
+    for (int64_t i = 0, j = l->length - 1; i < j; i++, j--) {
+        void *t = l->list[i];
+        l->list[i] = l->list[j];
+        l->list[j] = t;
+    }
+}
+
+/* sonLib's stList_sort comparator receives ELEMENTS, not slots. */
+static int shim_sort_elem_cmp(const void *a, const void *b, void *arg) {
+    int (*cmp)(const void *, const void *) =
+        (int (*)(const void *, const void *))arg;
+    return cmp(*(void *const *)a, *(void *const *)b);
+}
+
+void stList_sort(stList *l, int (*cmp)(const void *, const void *)) {
+    qsort_r(l->list, (size_t)l->length, sizeof(void *), shim_sort_elem_cmp,
+            (void *)cmp);
+}
+
+void stList_setDestructor(stList *l, void (*destructFn)(void *)) {
+    l->destructFn = destructFn;
+}
+
+void stList_destruct(stList *l) {
+    if (l == NULL) {
+        return;
+    }
+    if (l->destructFn != NULL) {
+        for (int64_t i = 0; i < l->length; i++) {
+            if (l->list[i] != NULL) {
+                l->destructFn(l->list[i]);
+            }
+        }
+    }
+    free(l->list);
+    free(l);
+}
+
+/* ---- int tuples ---- */
+
+static stIntTuple *stIntTuple_alloc(int64_t n) {
+    stIntTuple *t = st_malloc(sizeof(stIntTuple) + (size_t)n * sizeof(int64_t));
+    t->length = n;
+    return t;
+}
+
+stIntTuple *stIntTuple_construct2(int64_t a, int64_t b) {
+    stIntTuple *t = stIntTuple_alloc(2);
+    t->vals[0] = a;
+    t->vals[1] = b;
+    return t;
+}
+
+stIntTuple *stIntTuple_construct3(int64_t a, int64_t b, int64_t c) {
+    stIntTuple *t = stIntTuple_alloc(3);
+    t->vals[0] = a;
+    t->vals[1] = b;
+    t->vals[2] = c;
+    return t;
+}
+
+stIntTuple *stIntTuple_construct4(int64_t a, int64_t b, int64_t c, int64_t d) {
+    stIntTuple *t = stIntTuple_alloc(4);
+    t->vals[0] = a;
+    t->vals[1] = b;
+    t->vals[2] = c;
+    t->vals[3] = d;
+    return t;
+}
+
+int64_t stIntTuple_get(stIntTuple *t, int64_t i) {
+    assert(i >= 0 && i < t->length);
+    return t->vals[i];
+}
+
+int64_t stIntTuple_length(stIntTuple *t) {
+    return t->length;
+}
+
+void stIntTuple_destruct(stIntTuple *t) {
+    free(t);
+}
+
+int stIntTuple_cmpFn(stIntTuple *a, stIntTuple *b) {
+    int64_t n = a->length < b->length ? a->length : b->length;
+    for (int64_t i = 0; i < n; i++) {
+        if (a->vals[i] != b->vals[i]) {
+            return a->vals[i] < b->vals[i] ? -1 : 1;
+        }
+    }
+    return a->length == b->length ? 0 : (a->length < b->length ? -1 : 1);
+}
+
+/* ---- sorted set ---- */
+
+struct _stSortedSet {
+    void **items;
+    int64_t length;
+    int64_t capacity;
+    int (*cmp)(const void *, const void *);
+    void (*destructFn)(void *);
+};
+
+stSortedSet *stSortedSet_construct3(int (*cmp)(const void *, const void *),
+                                    void (*destructFn)(void *)) {
+    stSortedSet *s = st_calloc(1, sizeof(stSortedSet));
+    s->cmp = cmp;
+    s->destructFn = destructFn;
+    return s;
+}
+
+/* index of first item >= v (lower bound) */
+static int64_t sortedSet_lower(stSortedSet *s, void *v) {
+    int64_t lo = 0, hi = s->length;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (s->cmp(s->items[mid], v) < 0) {
+            lo = mid + 1;
+        } else {
+            hi = mid;
+        }
+    }
+    return lo;
+}
+
+void stSortedSet_insert(stSortedSet *s, void *v) {
+    int64_t i = sortedSet_lower(s, v);
+    if (i < s->length && s->cmp(s->items[i], v) == 0) {
+        return; /* already present */
+    }
+    if (s->length == s->capacity) {
+        s->capacity = s->capacity < 8 ? 8 : s->capacity * 2;
+        s->items = realloc(s->items, (size_t)s->capacity * sizeof(void *));
+        if (s->items == NULL) {
+            st_errAbort("shim: realloc failed");
+        }
+    }
+    memmove(s->items + i + 1, s->items + i,
+            (size_t)(s->length - i) * sizeof(void *));
+    s->items[i] = v;
+    s->length++;
+}
+
+void *stSortedSet_search(stSortedSet *s, void *v) {
+    int64_t i = sortedSet_lower(s, v);
+    if (i < s->length && s->cmp(s->items[i], v) == 0) {
+        return s->items[i];
+    }
+    return NULL;
+}
+
+void stSortedSet_destruct(stSortedSet *s) {
+    if (s->destructFn != NULL) {
+        for (int64_t i = 0; i < s->length; i++) {
+            s->destructFn(s->items[i]);
+        }
+    }
+    free(s->items);
+    free(s);
+}
+
+/* ---- strings ---- */
+
+char *stString_copy(const char *s) {
+    char *r = strdup(s);
+    if (r == NULL) {
+        st_errAbort("shim: strdup failed");
+    }
+    return r;
+}
+
+char *stString_print(const char *fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    char *s = NULL;
+    if (vasprintf(&s, fmt, ap) < 0) {
+        st_errAbort("shim: vasprintf failed");
+    }
+    va_end(ap);
+    return s;
+}
+
+char *stString_getSubString(const char *s, int64_t start, int64_t length) {
+    char *r = st_malloc((size_t)length + 1);
+    memcpy(r, s + start, (size_t)length);
+    r[length] = '\0';
+    return r;
+}
+
+char *stString_replace(const char *s, const char *from, const char *to) {
+    size_t fromLen = strlen(from), toLen = strlen(to);
+    size_t cap = strlen(s) * (toLen / (fromLen ? fromLen : 1) + 2) + 1;
+    char *out = st_malloc(cap);
+    char *w = out;
+    const char *p = s;
+    while (*p) {
+        if (fromLen > 0 && strncmp(p, from, fromLen) == 0) {
+            memcpy(w, to, toLen);
+            w += toLen;
+            p += fromLen;
+        } else {
+            *w++ = *p++;
+        }
+    }
+    *w = '\0';
+    return out;
+}
+
+stList *stString_split(const char *s) {
+    stList *tokens = stList_construct3(0, free);
+    const char *p = s;
+    while (*p) {
+        while (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r') {
+            p++;
+        }
+        if (!*p) {
+            break;
+        }
+        const char *q = p;
+        while (*q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') {
+            q++;
+        }
+        stList_append(tokens, stString_getSubString(p, 0, q - p));
+        p = q;
+    }
+    return tokens;
+}
+
+char *stFile_getLineFromFile(FILE *f) {
+    char *line = NULL;
+    size_t n = 0;
+    ssize_t r = getline(&line, &n, f);
+    if (r < 0) {
+        free(line);
+        return NULL;
+    }
+    while (r > 0 && (line[r - 1] == '\n' || line[r - 1] == '\r')) {
+        line[--r] = '\0';
+    }
+    return line;
+}
+
+/* ---- misc runtime ---- */
+
+void *st_malloc(size_t n) {
+    void *p = malloc(n);
+    if (p == NULL && n > 0) {
+        st_errAbort("shim: malloc(%zu) failed", n);
+    }
+    return p;
+}
+
+void *st_calloc(int64_t num, size_t size) {
+    void *p = calloc((size_t)num, size);
+    if (p == NULL && num > 0) {
+        fprintf(stderr, "shim: calloc failed\n");
+        exit(1);
+    }
+    return p;
+}
+
+void st_errAbort(const char *fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    fprintf(stderr, "\n");
+    exit(1);
+}
+
+void st_errnoAbort(const char *fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    perror(" errno");
+    exit(1);
+}
+
+void st_logDebug(const char *fmt, ...) {
+    (void)fmt;
+}
+
+void st_logInfo(const char *fmt, ...) {
+    (void)fmt;
+}
+
+int64_t st_system(const char *fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    char *cmd = NULL;
+    if (vasprintf(&cmd, fmt, ap) < 0) {
+        st_errAbort("shim: vasprintf failed");
+    }
+    va_end(ap);
+    int r = system(cmd);
+    free(cmd);
+    return r;
+}
+
+void stThrowNew(const char *exceptionId, const char *fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    fprintf(stderr, "exception %s: ", exceptionId);
+    vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    fprintf(stderr, "\n");
+    exit(1);
+}
+
+static uint64_t shim_rng_state = 0x9E3779B97F4A7C15ull;
+
+double st_random(void) {
+    /* xorshift64*; parity tests fix sequences host-side so the exact
+     * generator is irrelevant, it just has to be a valid U[0,1). */
+    shim_rng_state ^= shim_rng_state >> 12;
+    shim_rng_state ^= shim_rng_state << 25;
+    shim_rng_state ^= shim_rng_state >> 27;
+    uint64_t r = shim_rng_state * 0x2545F4914F6CDD1Dull;
+    return (double)(r >> 11) / (double)(1ull << 53);
+}
+
+int64_t st_randomInt(int64_t min, int64_t max) {
+    return min + (int64_t)(st_random() * (double)(max - min));
+}
+
+/* ---- JSON abort stubs ---- */
+
+int64_t stJson_setupParser(char *buf, size_t r, jsmntok_t **tokens, char **js) {
+    (void)buf;
+    (void)r;
+    (void)tokens;
+    (void)js;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+char *stJson_token_tostr(char *js, jsmntok_t *token) {
+    (void)js;
+    (void)token;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+int64_t stJson_parseInt(char *js, jsmntok_t *tokens, int64_t tokenIndex) {
+    (void)js;
+    (void)tokens;
+    (void)tokenIndex;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+double stJson_parseFloat(char *js, jsmntok_t *tokens, int64_t tokenIndex) {
+    (void)js;
+    (void)tokens;
+    (void)tokenIndex;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+bool stJson_parseBool(char *js, jsmntok_t *tokens, int64_t tokenIndex) {
+    (void)js;
+    (void)tokens;
+    (void)tokenIndex;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+int64_t stJson_parseFloatArray(double *toArray, int64_t arrayLength, char *js,
+                               jsmntok_t *tokens, int64_t tokenIndex) {
+    (void)toArray;
+    (void)arrayLength;
+    (void)js;
+    (void)tokens;
+    (void)tokenIndex;
+    st_errAbort("shim: JSON parsing not supported in parity harness");
+}
+
+/* ---- bioio / cigar abort stubs (blast path unused in harness) ---- */
+
+void fastaWrite(char *sequence, char *header, FILE *file) {
+    (void)sequence;
+    (void)header;
+    (void)file;
+    st_errAbort("shim: fastaWrite unsupported (lastz path disabled)");
+}
+
+char *getTempFile(void) {
+    st_errAbort("shim: getTempFile unsupported (lastz path disabled)");
+}
+
+struct PairwiseAlignment *cigarRead(FILE *fileHandle) {
+    (void)fileHandle;
+    st_errAbort("shim: cigarRead unsupported (lastz path disabled)");
+}
+
+void cigarWrite(FILE *fileHandle, struct PairwiseAlignment *pA, int64_t asProbs) {
+    (void)fileHandle;
+    (void)pA;
+    (void)asProbs;
+    st_errAbort("shim: cigarWrite unsupported");
+}
+
+void destructPairwiseAlignment(struct PairwiseAlignment *pA) {
+    (void)pA;
+    st_errAbort("shim: destructPairwiseAlignment unsupported");
+}
