@@ -42,6 +42,7 @@ compacted on device, and one batched device_get fetches everything.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,12 @@ def burnin_rows(p) -> int:
     margin with a 96-row floor — measured on evolved 50 kb pairs the
     thresholded entry set is IDENTICAL from 96 through 160 halo rows
     (the boundary error decays geometrically and sits far below the
-    emission threshold), and the halo is pure overhead on every window."""
+    emission threshold), and the halo is pure overhead on every window.
+    Models with slower-mixing gap states or much lower thresholds can
+    restore a larger halo via CPECAN_TPU_BURNIN (rows, absolute)."""
+    env = os.environ.get("CPECAN_TPU_BURNIN")
+    if env:
+        return max(int(env), 8)
     return max((12 * int(p.traceBackDiagonals)) // 5, 96)
 
 
@@ -400,8 +406,12 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
     locw = np.empty(nW, np.int32)
     for w in range(nW):
         s = int(ss[w])
-        lo_w = int(jlo[s:s + KpMAX].min()) if w > 0 else 0
-        hi_w = int(jhi[s:s + KpMAX].max())
+        # span includes rows s-2..s-1: fwd_carry seeds from them, and a
+        # band shifting left going up could otherwise push part of the
+        # halo seed below the local frame edge (silently zeroing it)
+        s_lo = max(s - 2, 0)
+        lo_w = int(jlo[s_lo:s + KpMAX].min()) if w > 0 else 0
+        hi_w = int(jhi[s_lo:s + KpMAX].max())
         bases[w] = max(lo_w, 0)
         locw[w] = max(hi_w - bases[w] + 1, 1)
 
@@ -419,11 +429,35 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
 
     # Count-first host-link discipline (the link is bandwidth-bound at
-    # ~50 MB/s with ~13-23 ms latency): enqueue every bucket's slices,
-    # fetch only the tiny entry counts, then compact each slice at the
-    # tight power-of-two capacity so the big fetch carries just the
-    # thresholded entries.
-    results = []  # (ss_b, bases_b, Kp_b, Wb, launch result)
+    # ~50 MB/s with ~13-23 ms latency): enqueue slices, fetch only the
+    # tiny entry counts, then compact each slice at the tight
+    # power-of-two capacity so the big fetch carries just the
+    # thresholded entries.  Dense window posteriors are dropped at each
+    # flush so peak HBM stays O(_F_BUDGET), not O(full band area): count
+    # fetches batch per flush group (one extra round trip per ~1 GiB of
+    # dense band) instead of per slice or all-at-the-end.
+    results = []  # flushed: (ss_sl, base_sl, Kp, Wb, per-key compacted)
+    pending = []  # launched, dense resident: (ss, base, Kp, Wb, r, bytes)
+    pending_bytes = 0
+
+    def _flush_pending():
+        nonlocal pending_bytes
+        if not pending:
+            return
+        counts = hostlink.device_get_pipelined(
+            [[(r[k][1], r[k][2]) for k in keys]
+             for (_s, _b, _kp, _wb, r, _n) in pending])
+        for ((ss_sl, base_sl, Kp, Wb, r, _n), cnt) in zip(pending, counts):
+            per = []
+            for k, (count, row_max) in zip(keys, cnt):
+                cap = 1 << max(6, int(np.ceil(np.log2(max(int(count), 2)))))
+                exact = int(row_max) > compact.DEFAULT_SLOTS
+                per.append(_compact_win_jit(r[k][0], jnp.float32(thr),
+                                            cap=cap, exact=exact))
+            results.append((ss_sl, base_sl, Kp, Wb, per))
+        pending.clear()  # drops the dense arrays
+        pending_bytes = 0
+
     for Wb in sorted(buckets):
         wins = buckets[Wb]
         nWb = len(wins)
@@ -438,6 +472,7 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         base_b[:nWb] = bases[wins]
         per_win = Kp * S * Wb * 4
         wmax = max(group, (_F_BUDGET // per_win) // group * group)
+        shrunk = False
         for lo in range(0, nWbp, wmax):
             hi = min(lo + wmax, nWbp)
             while True:
@@ -452,6 +487,8 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
                         S=S, nz=nz, K=K, Kp=Kp, W=Wb, chunk=chunk,
                         group=group, mode=mode, interpret=interpret,
                         pad_off=pad_off)
+                    if shrunk:
+                        _wf.confirm_tiles(group, chunk, Wb)
                     break
                 except Exception as e:  # VMEM compile OOM: self-heal
                     smaller = (_wf.shrink_tiles(group, chunk, Wb)
@@ -460,24 +497,19 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
                         raise
                     group, chunk = smaller
                     Kp = -(-(K + 2 * B) // chunk) * chunk
-            results.append((ss_b[lo:hi], base_b[lo:hi], Kp, Wb, r))
+                    shrunk = True
+            n_dense = n_out * (hi - lo) * Kp * Wb * 4
+            pending.append((ss_b[lo:hi], base_b[lo:hi], Kp, Wb, r, n_dense))
+            pending_bytes += n_dense
+            if pending_bytes >= _F_BUDGET:
+                _flush_pending()
 
-    counts = hostlink.device_get_pipelined(
-        [[(r[k][1], r[k][2]) for k in keys]
-         for (_s, _b, _kp, _wb, r) in results])
-    comp = []
-    for ((_s, _b, _kp, _wb, r), cnt) in zip(results, counts):
-        per = []
-        for k, (count, row_max) in zip(keys, cnt):
-            cap = 1 << max(6, int(np.ceil(np.log2(max(int(count), 2)))))
-            exact = int(row_max) > compact.DEFAULT_SLOTS
-            per.append(_compact_win_jit(r[k][0], jnp.float32(thr),
-                                        cap=cap, exact=exact))
-        comp.append(per)
-    fetched = hostlink.device_get_pipelined(comp)
+    _flush_pending()
+    fetched = hostlink.device_get_pipelined(
+        [per for (_s, _b, _kp, _wb, per) in results])
 
     entries = {k: ([], [], []) for k in keys}
-    for (ss_sl, base_sl, Kp, Wb, _r), per in zip(results, fetched):
+    for (ss_sl, base_sl, Kp, Wb, _per), per in zip(results, fetched):
         for k, (idx, vals) in zip(keys, per):
             sel = idx >= 0
             idx, vals = idx[sel].astype(np.int64), vals[sel]

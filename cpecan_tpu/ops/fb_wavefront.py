@@ -1030,7 +1030,7 @@ def _envelope() -> int:
 
 
 def _record_envelope(cells: int) -> None:
-    """Persist a smaller working envelope after a VMEM compile OOM."""
+    """Persist a smaller working envelope (on disk, per device kind)."""
     kind = _device_kind()
     _envelope_live[kind] = cells
     import json
@@ -1095,8 +1095,11 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
 
 def shrink_tiles(group: int, chunk: int, W: int):
     """One VMEM-OOM healing step: halve the larger tile dimension and
-    record the smaller envelope so future pick_tiles calls start there.
-    Returns the new (group, chunk) or None when already minimal."""
+    lower the IN-MEMORY envelope so this process's later pick_tiles
+    start there.  Returns the new (group, chunk) or None when already
+    minimal.  Nothing is persisted here: callers confirm_tiles() after
+    the shrunk configuration actually compiles, so a transient or
+    kernel-specific OOM cannot permanently throttle the device kind."""
     We = max(W, 128)
     if chunk > 8:
         chunk //= 2
@@ -1104,8 +1107,14 @@ def shrink_tiles(group: int, chunk: int, W: int):
         group //= 2
     else:
         return None
-    _record_envelope(group * chunk * We)
+    _envelope_live[_device_kind()] = group * chunk * We
     return group, chunk
+
+
+def confirm_tiles(group: int, chunk: int, W: int) -> None:
+    """Persist the envelope of a shrunk-and-verified tile configuration
+    (called only after the retry compiled and ran)."""
+    _record_envelope(group * chunk * max(W, 128))
 
 
 def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
@@ -1152,18 +1161,23 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                     else jnp.concatenate([o[k] for o in outs], axis=0))
                 for k in outs[0]}
 
+    shrunk = False
     while True:
         rows = -(-(P + 1) // chunk) * chunk
         try:
-            return _fb_wavefront_jit(
+            out = _fb_wavefront_jit(
                 params, jnp.asarray(sx), jnp.asarray(sy),
                 jnp.asarray(offsets), jnp.asarray(widths), jnp.asarray(lx),
                 jnp.asarray(ly), jnp.asarray(ragged_left),
                 jnp.asarray(ragged_right),
                 nz, S, mode, W, rows, bool(interpret), chunk, group)
+            if shrunk:
+                confirm_tiles(group, chunk, W)
+            return out
         except Exception as e:  # VMEM compile OOM: shrink tiles and retry
             smaller = (shrink_tiles(group, chunk, W)
                        if _is_vmem_oom(e) else None)
             if smaller is None:
                 raise
             group, chunk = smaller
+            shrunk = True

@@ -141,8 +141,9 @@ def test_pick_tiles_envelope():
 
 def test_shrink_tiles_heals_and_records(tmp_path, monkeypatch):
     """A VMEM compile OOM shrinks (group, chunk) step by step down to the
-    (8, 8) floor and persists the learned envelope per device kind, so
-    later pick_tiles calls start inside it."""
+    (8, 8) floor, lowering the in-memory envelope; only confirm_tiles
+    (called after the shrunk config actually compiled) persists it, so a
+    transient OOM cannot permanently throttle the device kind."""
     from cpecan_tpu.ops import fb_wavefront as wf
 
     monkeypatch.setenv("CPECAN_TPU_TILE_CACHE",
@@ -160,7 +161,11 @@ def test_shrink_tiles_heals_and_records(tmp_path, monkeypatch):
             assert wf._envelope() == g * c * 128
         assert (g, c) == (8, 8)
         assert len(seen) >= 6  # chunk halves first, then group
-        # a fresh in-process state reloads the persisted envelope
+        # un-confirmed shrinks do NOT persist: fresh state reloads default
+        wf._envelope_live.clear()
+        assert wf._envelope() == wf._ENVELOPE_DEFAULT
+        # confirmed shrinks persist and constrain later pick_tiles
+        wf.confirm_tiles(8, 8, 128)
         wf._envelope_live.clear()
         assert wf._envelope() == 8 * 8 * 128
         g2, c2 = wf.pick_tiles(256, 128, 2048, 5, "posterior_match")
