@@ -202,26 +202,33 @@ def chain_runs(runs: np.ndarray) -> np.ndarray:
     return runs[chain]
 
 
-def runs_to_anchor_pairs(runs: np.ndarray, trim: int, expansion: int) -> list:
+def runs_to_anchor_pairs(runs: np.ndarray, trim: int,
+                         expansion: int) -> np.ndarray:
     """Per-base (x, y, expansion) triples from match runs, trimming `trim`
-    bases off each run end (reference anchor conversion :985-998)."""
+    bases off each run end (reference anchor conversion :985-998).
+    Returns an (N, 3) int64 array — anchors stay numpy end-to-end through
+    filter/split/band construction (no per-base Python tuples on the
+    host critical path)."""
     if len(runs) == 0:
-        return []
+        return np.empty((0, 3), np.int64)
     runs = np.asarray(runs, dtype=np.int64)
     lens = np.maximum(runs[:, 2] - 2 * trim, 0)
     if lens.sum() == 0:
-        return []
+        return np.empty((0, 3), np.int64)
     starts = np.repeat(runs[:, 0] + trim, lens)
     ys = np.repeat(runs[:, 1] + trim, lens)
     # offset within each run: arange restarted at every run boundary
     idx = np.arange(lens.sum(), dtype=np.int64)
     run_start = np.repeat(np.cumsum(lens) - lens, lens)
     off = idx - run_start
-    return [(int(x), int(y), expansion)
-            for x, y in zip(starts + off, ys + off)]
+    out = np.empty((len(idx), 3), np.int64)
+    out[:, 0] = starts + off
+    out[:, 1] = ys + off
+    out[:, 2] = expansion
+    return out
 
 
-def filter_to_remove_overlap(pairs: list) -> list:
+def filter_to_remove_overlap(pairs) -> np.ndarray:
     """Keep the maximal subset of pairs strictly monotone in both coords.
     Same semantics as the two-pass backward/forward filter (reference
     filterToRemoveOverlap, impl/pairwiseAligner.c:1095-1135), vectorized:
@@ -231,12 +238,16 @@ def filter_to_remove_overlap(pairs: list) -> list:
     min/max loop. (Index-wise AND of the two passes equals the
     reference's value-set intersection: a duplicate (x, y) can never pass
     the strict prefix-max test twice.) Input must be sorted ascending
-    (tuple order)."""
-    n = len(pairs)
+    (row order); accepts an (N, k>=2) array or a tuple list, returns an
+    (N, k) int64 array."""
+    arr = np.asarray(pairs, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(0, 3)
+    n = len(arr)
     if n <= 1:
-        return list(pairs)
-    xs = np.fromiter((p[0] for p in pairs), np.int64, n)
-    ys = np.fromiter((p[1] for p in pairs), np.int64, n)
+        return arr
+    xs = arr[:, 0]
+    ys = arr[:, 1]
     # exact duplicates (adjacent when sorted): the reference's value-set
     # intersection keeps the first copy; collapse to one before the scans
     first = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
@@ -257,7 +268,7 @@ def filter_to_remove_overlap(pairs: list) -> list:
     kept = np.flatnonzero(keep)
     if srcs is not None:
         kept = srcs[kept]
-    return [pairs[i] for i in kept]
+    return arr[kept]
 
 
 # Max mismatch stretch bridged when merging same-diagonal chained runs
@@ -334,60 +345,81 @@ def _lastz_blast_pairs(exe: str, seq_x: str, seq_y: str, trim: int,
             [exe, "--hspthresh=800", "--chain", "--strand=plus", "--gapped",
              "--format=cigar", "--ambiguous=iupac,100,100", fx, fy],
             check=True, capture_output=True, text=True)
-    pairs = []
-    for pa in cigar_read(_io.StringIO(out.stdout)):
-        pairs.extend(alignment_to_anchor_pairs(pa, trim, expansion))
-    return pairs
+    pairs = [alignment_to_anchor_pairs(pa, trim, expansion)
+             for pa in cigar_read(_io.StringIO(out.stdout))]
+    if not pairs:
+        return np.empty((0, 3), np.int64)
+    return np.concatenate(pairs, axis=0)
 
 
 def get_blast_pairs(seq_x: str, seq_y: str, trim: int, expansion: int,
-                    repeat_mask: bool, k: int = DEFAULT_KMER) -> list:
-    """Seed-and-chain anchor pairs for one rectangle, sorted by x+y
-    (the getBlastPairs contract, reference :1005-1080). When repeat_mask is
-    False the sequences are treated as unmasked (uppercased). If
-    $CPECAN_TPU_LASTZ names a lastz binary, anchors come from it instead of
-    the built-in seeder (exact anchor parity with the reference)."""
+                    repeat_mask: bool, k: int = DEFAULT_KMER) -> np.ndarray:
+    """Seed-and-chain anchor pairs for one rectangle as an (N, 3) int64
+    array sorted by x+y (the getBlastPairs contract, reference
+    :1005-1080). When repeat_mask is False the sequences are treated as
+    unmasked (uppercased). If $CPECAN_TPU_LASTZ names a lastz binary,
+    anchors come from it instead of the built-in seeder (exact anchor
+    parity with the reference)."""
     exe = os.environ.get(LASTZ_ENV)
     if exe:
-        pairs = _lastz_blast_pairs(exe, seq_x, seq_y, trim, expansion,
-                                   repeat_mask)
+        pairs = np.asarray(_lastz_blast_pairs(exe, seq_x, seq_y, trim,
+                                              expansion, repeat_mask),
+                           dtype=np.int64)
+        if pairs.ndim == 1:
+            pairs = pairs.reshape(0, 3)
     else:
         chained = get_chained_runs(seq_x, seq_y, repeat_mask, k=k)
         pairs = runs_to_anchor_pairs(chained, trim, expansion)
-    pairs.sort(key=lambda p: p[0] + p[1])
-    return pairs
+    return pairs[np.argsort(pairs[:, 0] + pairs[:, 1], kind="stable")]
+
+
+def _sort_rows(arr: np.ndarray) -> np.ndarray:
+    """Lexicographic row sort (x, then y) — the list.sort() the filter
+    pass requires, on the array representation."""
+    return arr[np.lexsort((arr[:, 1], arr[:, 0]))]
 
 
 def get_anchors(seq_x: str, seq_y: str, p: PairwiseAlignmentParameters,
-                k: int = DEFAULT_KMER) -> list:
+                k: int = DEFAULT_KMER) -> np.ndarray:
     """Two-level anchoring with recursive re-anchoring of large gaps
     (reference getBlastPairsForPairwiseAlignmentParameters :1162-1196).
-    Returns (x, y, expansion) triples, strictly monotone in both coords."""
+    Returns (x, y, expansion) triples as an (N, 3) int64 array, strictly
+    monotone in both coords."""
     lx, ly = len(seq_x), len(seq_y)
     if lx * ly <= p.anchorMatrixBiggerThanThis:
-        return []
+        return np.empty((0, 3), np.int64)
 
     top = get_blast_pairs(seq_x, seq_y, p.constraintDiagonalTrim,
                           p.diagonalExpansion, repeat_mask=True, k=k)
-    top.sort()
-    top = filter_to_remove_overlap(top)
+    top = filter_to_remove_overlap(_sort_rows(top))
 
-    def re_anchor_gap(px, py, x, y, out):
-        lx2, ly2 = x - px, y - py
-        if lx2 * ly2 > p.anchorMatrixBiggerThanThis:
-            sub = get_blast_pairs(
-                seq_x[px:x], seq_y[py:y], p.constraintDiagonalTrim,
-                p.diagonalExpansion,
-                repeat_mask=lx2 * ly2 > p.repeatMaskMatrixBiggerThanThis, k=k)
-            sub.sort()
-            sub = filter_to_remove_overlap(sub)
-            out.extend((sx + px, sy + py, e) for sx, sy, e in sub)
+    # Gap rectangles between consecutive top anchors (N anchors -> N+1
+    # gaps, gap i preceding anchor i).  Only gaps whose area exceeds the
+    # anchor threshold get re-anchored — locate those with one
+    # vectorized scan and splice sub-anchor arrays around the untouched
+    # stretches, keeping the whole path free of per-base Python work.
+    n = len(top)
+    ax, ay = top[:, 0], top[:, 1]
+    px = np.concatenate([[0], ax + 1])
+    py = np.concatenate([[0], ay + 1])
+    ex = np.concatenate([ax, [lx]])
+    ey = np.concatenate([ay, [ly]])
+    areas = (ex - px) * (ey - py)
+    big_gaps = np.flatnonzero(areas > p.anchorMatrixBiggerThanThis)
 
-    combined: list = []
-    px, py = 0, 0
-    for x, y, e in top:
-        re_anchor_gap(px, py, x, y, combined)
-        combined.append((x, y, e))
-        px, py = x + 1, y + 1
-    re_anchor_gap(px, py, lx, ly, combined)
-    return combined
+    pieces: list = []
+    prev = 0
+    for gi in big_gaps:
+        gx1, gy1, gx2, gy2 = int(px[gi]), int(py[gi]), int(ex[gi]), int(ey[gi])
+        sub = get_blast_pairs(
+            seq_x[gx1:gx2], seq_y[gy1:gy2], p.constraintDiagonalTrim,
+            p.diagonalExpansion,
+            repeat_mask=(gx2 - gx1) * (gy2 - gy1)
+            > p.repeatMaskMatrixBiggerThanThis, k=k)
+        sub = filter_to_remove_overlap(_sort_rows(sub))
+        pieces.append(top[prev:gi])
+        if len(sub):
+            pieces.append(sub + np.array([gx1, gy1, 0], np.int64))
+        prev = gi
+    pieces.append(top[prev:n])
+    return np.concatenate(pieces, axis=0) if pieces else top

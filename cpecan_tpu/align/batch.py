@@ -186,13 +186,17 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     for t in tasks:
         if t.anchors is None:
             band = full_band(len(t.sub_x), len(t.sub_y))
-        elif p.dynamicAnchorExpansion:
-            band = construct_band(t.anchors, len(t.sub_x), len(t.sub_y),
-                                  expansion=None)
         else:
-            band = construct_band([(a[0], a[1]) for a in t.anchors],
-                                  len(t.sub_x), len(t.sub_y),
-                                  p.diagonalExpansion)
+            arr = np.asarray(t.anchors if isinstance(t.anchors, np.ndarray)
+                             else list(t.anchors), dtype=np.int64)
+            if arr.ndim == 1:
+                arr = arr.reshape(0, 3)
+            if p.dynamicAnchorExpansion:
+                band = construct_band(arr, len(t.sub_x), len(t.sub_y),
+                                      expansion=None)
+            else:
+                band = construct_band(arr[:, :2], len(t.sub_x),
+                                      len(t.sub_y), p.diagonalExpansion)
         W = _width_bucket(band.frame_width())
         if fb_streaming.should_stream(band.diagonal_number, W):
             # chunk too long for the two-pass engines: checkpointed

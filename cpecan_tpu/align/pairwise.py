@@ -51,11 +51,14 @@ def _run_chunk(sm: StateMachine, seq_x: str, seq_y: str, anchors,
                ragged_right: bool, mode: str):
     """One banded FB chunk on device; returns (engine outputs, band)."""
     lx, ly = len(seq_x), len(seq_y)
+    arr = np.asarray(anchors if isinstance(anchors, np.ndarray)
+                     else list(anchors), dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr.reshape(0, 3)
     if p.dynamicAnchorExpansion:
-        band = construct_band(anchors, lx, ly, expansion=None)
+        band = construct_band(arr, lx, ly, expansion=None)
     else:
-        band = construct_band(
-            [(a[0], a[1]) for a in anchors], lx, ly, p.diagonalExpansion)
+        band = construct_band(arr[:, :2], lx, ly, p.diagonalExpansion)
     P = _bucket(band.diagonal_number)
     W = _width_bucket(band.frame_width())
     offsets, widths, L = pad_band(band, P)

@@ -85,24 +85,37 @@ def cigar_write(fh: TextIO, pa: PairwiseAlignment) -> None:
     fh.write(cigar_format(pa) + "\n")
 
 
-def alignment_to_anchor_pairs(pa: PairwiseAlignment, trim: int, expansion: int):
-    """Match-run positions -> (x, y, expansion) anchor triples, trimming
-    `trim` bases off each end of every match run (reference
-    convertPairwiseForwardStrandAlignmentToAnchorPairs,
-    impl/pairwiseAligner.c:979-1003). Requires forward-strand coords."""
+def alignment_to_anchor_pairs(pa: PairwiseAlignment, trim: int,
+                              expansion: int):
+    """Match-run positions -> (x, y, expansion) anchor triples as an
+    (N, 3) int64 array, trimming `trim` bases off each end of every
+    match run (reference convertPairwiseForwardStrandAlignmentToAnchorPairs,
+    impl/pairwiseAligner.c:979-1003). Requires forward-strand coords.
+    Vectorized per run (the loop is over cigar ops, not bases)."""
+    import numpy as np
+
     assert pa.strand1 and pa.strand2
     x, y = pa.start1, pa.start2
-    anchors = []
+    runs = []  # (x_start, y_start, usable_len) per match run
     for op, n in pa.operations:
-        if op == MATCH:
-            for l in range(trim, n - trim):
-                anchors.append((x + l, y + l, expansion))
+        if op == MATCH and n - 2 * trim > 0:
+            runs.append((x + trim, y + trim, n - 2 * trim))
         if op != INDEL_Y:
             x += n
         if op != INDEL_X:
             y += n
     assert x == pa.end1 and y == pa.end2
-    return anchors
+    if not runs:
+        return np.empty((0, 3), np.int64)
+    r = np.asarray(runs, np.int64)
+    lens = r[:, 2]
+    idx = np.arange(lens.sum(), dtype=np.int64)
+    off = idx - np.repeat(np.cumsum(lens) - lens, lens)
+    out = np.empty((len(idx), 3), np.int64)
+    out[:, 0] = np.repeat(r[:, 0], lens) + off
+    out[:, 1] = np.repeat(r[:, 1], lens) + off
+    out[:, 2] = expansion
+    return out
 
 
 def aligned_pairs_to_alignment(pairs, contig1, contig2, start1, end1,

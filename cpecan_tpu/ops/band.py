@@ -98,7 +98,9 @@ def construct_band(anchor_pairs, lx: int, ly: int, expansion: int | None = None)
 
     n_diag = lx + ly
 
-    anchors = np.asarray(list(anchor_pairs), dtype=np.int64)
+    if not isinstance(anchor_pairs, np.ndarray):
+        anchor_pairs = list(anchor_pairs)
+    anchors = np.asarray(anchor_pairs, dtype=np.int64)
     if anchors.size == 0:
         anchors = anchors.reshape(0, 3 if dynamic else 2)
     n_anch = len(anchors)

@@ -65,8 +65,8 @@ def test_runs_to_anchor_pairs_vectorized():
     runs = np.array([[10, 20, 5], [100, 200, 3]], dtype=np.int64)
     got = anchors.runs_to_anchor_pairs(runs, 1, 4)
     expect = [(11, 21, 4), (12, 22, 4), (13, 23, 4), (101, 201, 4)]
-    assert got == expect
-    assert anchors.runs_to_anchor_pairs(runs, 3, 4) == []
+    assert [tuple(map(int, r)) for r in got] == expect
+    assert len(anchors.runs_to_anchor_pairs(runs, 3, 4)) == 0
 
 
 def test_lastz_subprocess_parity_mode(tmp_path, monkeypatch):
@@ -83,7 +83,8 @@ def test_lastz_subprocess_parity_mode(tmp_path, monkeypatch):
                                   expansion=6, repeat_mask=True)
     # M 4 at (2,3) trimmed by 1 -> (3,4),(4,5); D 2 advances x only;
     # M 4 at (8,7) -> (9,8),(10,9); sorted by x+y
-    assert got == [(3, 4, 6), (4, 5, 6), (9, 8, 6), (10, 9, 6)]
+    assert [tuple(map(int, r)) for r in got] == [
+        (3, 4, 6), (4, 5, 6), (9, 8, 6), (10, 9, 6)]
 
 
 def test_merge_colinear_runs():

@@ -165,7 +165,8 @@ class TestAnchors:
             pts = sorted({(rng.randint(0, 20), rng.randint(0, 20))
                           for _ in range(rng.randint(0, 25))})
             pairs = [(x, y, 0) for x, y in pts]
-            out = filter_to_remove_overlap(pairs)
+            out = [tuple(int(v) for v in row)
+                   for row in filter_to_remove_overlap(pairs)]
             # output must be strictly monotone in both coordinates
             for (a, b, _), (c, d, _) in zip(out, out[1:]):
                 assert a < c and b < d
