@@ -282,7 +282,7 @@ def bench_read_pairs_1kb(baseline: float, n_pairs: int = 1024) -> dict:
 # ------------------------------------ config 3: anchored 10-50 kb pairs
 
 def bench_anchored_50kb(baseline: float, n: int = 50_000,
-                        reps: int = 3) -> dict:
+                        reps: int = 3, genomic: bool = False) -> dict:
     """Anchored banded alignment of one 50 kb genomic-like pair end to end
     (BASELINE config #3): native k-mer seeding/chaining, recursion,
     large-gap splitting, bucketed device batches, pair extraction.
@@ -299,8 +299,14 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000,
     import cpecan_tpu.utils.symbols as sym
 
     pyrng = random.Random(3)
-    x = "".join(pyrng.choice("ACGT") for _ in range(n))
-    y, truth = sym.tracked_evolve(x, pyrng)
+    if genomic:
+        # soft-masked repeat-rich structure (~35% interspersed/tandem
+        # repeats): the regime of the reference's ENCODE long test
+        x = sym.genomic_like_sequence(n, pyrng)
+        y, truth = sym.tracked_evolve(x, pyrng, sub_rate=0.08)
+    else:
+        x = "".join(pyrng.choice("ACGT") for _ in range(n))
+        y, truth = sym.tracked_evolve(x, pyrng)
     sm = sm5()
     p = PairwiseAlignmentParameters()
 
@@ -544,7 +550,7 @@ def bench_long_500kb(baseline: float, n: int = 500_000) -> dict:
     the full anchored pipeline (the regime of the reference's long test,
     tests/pairwiseAlignerLongTest.c:40-121, which aligns ~0.5 Mb ENCODE
     pairs and logs wall-clock + sensitivity/specificity)."""
-    return {**bench_anchored_50kb(baseline, n=n, reps=1),
+    return {**bench_anchored_50kb(baseline, n=n, reps=1, genomic=True),
             "metric": "long_500kb_e2e"}
 
 

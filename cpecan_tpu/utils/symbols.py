@@ -124,3 +124,67 @@ def tracked_evolve(sequence: str, rng: random.Random | None = None,
         x += 1
         y += 1
     return "".join(out), true_pairs
+
+
+def genomic_like_sequence(length: int, rng: random.Random | None = None,
+                          repeat_fraction: float = 0.3,
+                          n_families: int = 3,
+                          family_len: int = 300,
+                          tandem_fraction: float = 0.05,
+                          gc_segments: int = 8):
+    """Repeat-rich soft-masked test sequence — the repo-local stand-in for
+    real ENCODE genomic structure (the reference's long test input,
+    tests/pairwiseAlignerLongTest.c:40-121): interspersed repeat families
+    (diverged copies of a few master elements, LOWERCASE soft-masked as
+    RepeatMasker output would be), short tandem repeats (lowercase), and
+    GC-skewed unique segments.  This is the regime where k-mer anchoring
+    genuinely differs from lastz: seeds inside repeats must be masked or
+    overwhelmed, and anchoring must come from the unique stretches."""
+    rng = rng or random
+    # SINE-like short families plus one LINE-like long element, so repeat
+    # content by LENGTH lands near repeat_fraction (human-like mix)
+    families = []
+    for i in range(n_families):
+        fl = family_len if i + 1 < n_families else family_len * 10
+        families.append("".join(rng.choice("ACGT") for _ in range(fl)))
+
+    def diverged_copy(master: str) -> str:
+        out = []
+        for c in master:
+            r = rng.random()
+            if r < 0.08:
+                c = rng.choice("ACGT")
+            elif r < 0.10:
+                continue  # small deletions
+            out.append(c.lower())  # soft-masked
+        return "".join(out)
+
+    def gc_segment(n: int, gc: float) -> str:
+        return "".join(
+            rng.choice("GC") if rng.random() < gc else rng.choice("AT")
+            for _ in range(n))
+
+    parts = []
+    total = 0
+    rep_total = 0
+    seg_len = max(min(length // max(gc_segments, 1), 2000), 600)
+    while total < length:
+        behind = rep_total < (repeat_fraction + tandem_fraction) * total
+        r = rng.random()
+        if behind and r < 0.85:
+            if r < 0.85 * tandem_fraction / (repeat_fraction +
+                                             tandem_fraction):
+                unit = "".join(rng.choice("ACGT")
+                               for _ in range(rng.randint(2, 6)))
+                t = (unit * rng.randint(10, 60)).lower()
+            else:
+                t = diverged_copy(rng.choice(families))
+            parts.append(t)
+            total += len(t)
+            rep_total += len(t)
+        else:
+            n = min(rng.randint(seg_len // 2, seg_len), length - total + 200)
+            seg = gc_segment(n, rng.choice([0.35, 0.45, 0.55, 0.65]))
+            parts.append(seg)
+            total += n
+    return "".join(parts)[:length]

@@ -140,3 +140,65 @@ def test_long_pair_200kb_streaming_accuracy(monkeypatch):
     sens, spec = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
     assert sens > 0.90, f"sensitivity {sens:.3f}"
     assert spec > 0.90, f"specificity {spec:.3f}"
+
+
+@pytest.mark.slow
+def test_long_repeat_rich_pair_accuracy():
+    """Repeat-aware long-pair accuracy at ENCODE-like scale (reference
+    pairwiseAlignerLongTest.c:40-121): a soft-masked repeat-rich
+    genomic-like pair (interspersed SINE/LINE-like families ~35% by
+    length, tandem repeats, GC-skewed unique segments) through the FULL
+    pipeline — this is exactly the regime where k-mer anchoring can
+    diverge from lastz (SURVEY hard-part 4).  Asserts sens/spec floors
+    AND, when the C reference builds, that our posteriors score >= the
+    reference engine fed the SAME anchors on the SAME input.
+
+    Scale: 120 kb in the default suite (CPU minutes); 500 kb when
+    CPECAN_TPU_LONGTEST=1 (the bench long_500kb config covers the full
+    scale on TPU every round)."""
+    import os
+    from cpecan_tpu.align.anchors import get_anchors
+    from cpecan_tpu.align.pairwise import get_aligned_pairs_using_anchors
+    from cpecan_tpu.utils.symbols import genomic_like_sequence
+
+    n = 500_000 if os.environ.get("CPECAN_TPU_LONGTEST") else 120_000
+    rng = random.Random(2024)
+    seq_x = genomic_like_sequence(n, rng)
+    seq_y, truth = tracked_evolve(seq_x, rng, sub_rate=0.08)
+
+    sm = state_machine5()
+    p = PairwiseAlignmentParameters()
+    anchors = get_anchors(seq_x, seq_y, p)
+    assert len(anchors) > n // 100  # anchoring survived the repeats
+
+    pairs = get_aligned_pairs_using_anchors(sm, seq_x, seq_y, anchors, p)
+    ordered = filter_pairwise_alignment_to_make_pairs_ordered(
+        pairs_mod.sort_pairs(pairs), seq_x, seq_y, 0.9)
+    sens, spec = _sens_spec(zip(ordered["x"], ordered["y"]), truth)
+    assert sens > 0.85, f"sensitivity {sens:.3f}"
+    assert spec > 0.95, f"specificity {spec:.3f}"
+
+    # --- score the C reference engine on the same input + anchors ---
+    try:
+        from tests.test_ref_parity import _binary, run_ref, parse_ref_pairs
+    except ImportError:
+        from test_ref_parity import _binary, run_ref, parse_ref_pairs
+    try:
+        ref_bin = _binary()
+    except Exception:
+        return  # reference unavailable: floors above still asserted
+    anchor_list = [(int(a), int(b), int(e)) for a, b, e in anchors]
+    ref_pairs = parse_ref_pairs(
+        run_ref(ref_bin, "pairs", "fiveState", seq_x, seq_y,
+                anchors=anchor_list, threshold=0.01))
+    truth_set = set(truth)
+    CONF = 0.5  # compare confident posteriors engine-to-engine
+    ref_conf = {k for k, v in ref_pairs.items() if v >= CONF}
+    our_conf = {(int(q["x"]), int(q["y"])) for q in pairs
+                if int(q["prob"]) >= CONF * 1e7}
+    ref_sens = len(ref_conf & truth_set) / max(len(truth_set), 1)
+    our_sens = len(our_conf & truth_set) / max(len(truth_set), 1)
+    ref_spec = len(ref_conf & truth_set) / max(len(ref_conf), 1)
+    our_spec = len(our_conf & truth_set) / max(len(our_conf), 1)
+    assert our_sens >= ref_sens - 0.005, (our_sens, ref_sens)
+    assert our_spec >= ref_spec - 0.005, (our_spec, ref_spec)
