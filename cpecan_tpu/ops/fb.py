@@ -76,6 +76,43 @@ def _select_shift(arr, amount):
         jnp.where(amount == 1, _shift_left(arr), _shift_right(arr)))
 
 
+def _symbol_windows_matmul(sx_pad, sy_pad, xoff, delta, LY, W, ks=None,
+                           pad_off=None):
+    """Per-diagonal symbol windows via one-hot MXU matmuls — no
+    sequential scan, no gather.
+
+    Same contract as _symbol_windows_scan (which it replaces on the hot
+    batch path: the 2k-step scan costs ~8 us/row of pure loop latency on
+    TPU, ~1/3 of the whole engine).  The distinct windows of a padded
+    sequence are built once with W+1 STATIC slices (a (n, W+1) sliding
+    table), and each diagonal's row is selected by a one-hot matmul of
+    its origin index — symbols are small ints, exact in the int8/bf16
+    matmul, and the MXU eats the (P+1, n) x (n, W+1) contraction in
+    microseconds.  Origins are always in range by construction (the
+    sentinel padding bounds them), so out-of-band rows read sentinels
+    exactly as the scan did."""
+    P = xoff.shape[0] - 1
+    if pad_off is None:
+        pad_off = W + 1
+    if ks is None:
+        ks = jnp.arange(P + 1, dtype=jnp.int32)
+    del delta  # shift structure not needed in this formulation
+    ox = xoff - 1 + pad_off
+    oy = LY - ks + xoff - 1 + pad_off
+
+    def expand(orig, seq_pad):
+        n = seq_pad.shape[0] - W
+        win = jnp.stack([seq_pad[j:j + n] for j in range(W + 1)], axis=1)
+        oh = (orig[:, None]
+              == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, win.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.astype(jnp.int8)
+
+    return expand(ox, sx_pad), expand(oy, sy_pad)
+
+
 def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None,
                          pad_off=None):
     """Per-diagonal symbol windows via a feather-weight int8 scan.
@@ -196,14 +233,19 @@ def _emissions(prob, wsymx, wsymy):
 
 def _fwd_step(prob, width):
     """Forward scan step over (F_{k-1}, F_{k-2}, 1/m_{k-1}) carries; inputs
-    are (d_k, d_{k-1}, jlo_k, jhi_k, ex_k, ey_k, em_k)."""
+    are (do_norm_k, d_k, d_{k-1}, jlo_k, jhi_k, ex_k, ey_k, em_k).
+
+    do_norm_k: apply the max-rescale on this row (mf_k = 0 on skipped
+    rows).  The schedule is norm_flags() of the global diagonal index —
+    shared with the Pallas kernels (fb_wavefront.NORM_EVERY) so the
+    engines' F/mf streams stay elementwise comparable."""
     S = prob["start"].shape[0]
     t_cat = prob["t"].reshape(3 * S, S)  # [x; m; y]
     js = jnp.arange(width, dtype=jnp.int32)
 
     def step(carry, inputs):
         F1, F2, inv_m1 = carry
-        d_k, d_km1, jlo_k, jhi_k, ex_k, ey_k, em_k = inputs
+        do_norm, d_k, d_km1, jlo_k, jhi_k, ex_k, ey_k, em_k = inputs
 
         # lower (x-1 @ k-1): shift d_k - 1; upper (x @ k-1): d_k;
         # middle (x-1 @ k-2): d_k + d_km1 - 1  (all in {-1, 0, 1})
@@ -216,7 +258,7 @@ def _fwd_step(prob, width):
         cur = cur * ((js >= jlo_k) & (js <= jhi_k))[None, :]
 
         m = jnp.max(cur)
-        m = jnp.where(m > 0, m, 1.0)
+        m = jnp.where(do_norm & (m > 0), m, 1.0)
         F_new = cur / m
         return (F_new, F1, 1.0 / m), (F_new, jnp.log(m))
 
@@ -235,14 +277,27 @@ def initial_forward_carry(prob, ragged_left, width):
     return carry, jnp.log(m0)
 
 
-def forward_window(prob, e_x, e_y, e_m, delta, d_km1, jlo, jhi, carry, width):
+def norm_flags(ks):
+    """Per-row max-rescale schedule from global diagonal indices: norm
+    iff k % NORM_EVERY == NORM_EVERY - 1 (see fb_wavefront.NORM_EVERY —
+    the kernels apply the identical schedule)."""
+    from cpecan_tpu.ops import fb_wavefront as _wf
+
+    return (ks % _wf.NORM_EVERY) == (_wf.NORM_EVERY - 1)
+
+
+def forward_window(prob, e_x, e_y, e_m, delta, d_km1, jlo, jhi, carry, width,
+                   ks):
     """Forward recursion over an interior row range [k0, k0+K) from an
     explicit carry (F_{k0-1}, F_{k0-2}, 1/m_{k0-1}). All stream args are
-    (K, ...) per-row; d_km1 is delta shifted by one row.
+    (K, ...) per-row; d_km1 is delta shifted by one row; ks are the
+    absolute diagonal indices (for the normalization schedule).
     Returns (carry_out, F_win [K,S,W], mf_win [K])."""
     step = _fwd_step(prob, width)
     carry_out, (F_win, mf_win) = jax.lax.scan(
-        step, carry, (delta, d_km1, jlo, jhi, e_x, e_y, e_m), unroll=_UNROLL)
+        step, carry,
+        (norm_flags(ks), delta, d_km1, jlo, jhi, e_x, e_y, e_m),
+        unroll=_UNROLL)
     return carry_out, F_win, mf_win
 
 
@@ -255,9 +310,11 @@ def forward_sweep(prob, e_x, e_y, e_m, delta, jlo, jhi, ragged_left, width):
     mf [P+1] log scales). True logF_k = log(F_all[k]) + sum(mf[:k+1]).
     """
     init, m0log = initial_forward_carry(prob, ragged_left, width)
+    P = delta.shape[0] - 1
+    ks = jnp.arange(1, P + 1, dtype=jnp.int32)
     _, F_rest, mf_rest = forward_window(
         prob, e_x[1:], e_y[1:], e_m[1:], delta[1:], delta[:-1],
-        jlo[1:], jhi[1:], init, width)
+        jlo[1:], jhi[1:], init, width, ks)
     F_all = jnp.concatenate([init[0][None], F_rest], axis=0)
     mf = jnp.concatenate([m0log[None], mf_rest])
     return F_all, mf
@@ -273,6 +330,7 @@ def _bwd_step(prob, L, end_vec, width):
     def step(carry, inputs):
         B1, B2, inv_mb1 = carry
         k, d_k1, d_k2, jlo_k, jhi_k, efx_k, efy_k, efm_k = inputs
+        do_norm = norm_flags(k)
         slot_ok = (js >= jlo_k) & (js <= jhi_k)
 
         # receive from k+1: x-class at j+1-d_k1, y-class at j-d_k1;
@@ -290,7 +348,7 @@ def _bwd_step(prob, L, end_vec, width):
         raw = jnp.where(at_end, end_vec[:, None] * slot_ok[None, :], raw)
 
         m = jnp.max(raw)
-        m = jnp.where((m > 0) & ~at_end, m, 1.0)
+        m = jnp.where(do_norm & (m > 0) & ~at_end, m, 1.0)
         B_k = raw / m
         B2_next = jnp.where(at_end, jnp.zeros_like(B1), B1)
         inv_next = jnp.where(at_end, 1.0, 1.0 / m)

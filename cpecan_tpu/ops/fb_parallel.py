@@ -250,7 +250,7 @@ def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
         outs = refs[10:13]
         scr = refs[13:]
         _wf._fwd_kernel(*ins, *outs, None, None, None, *scr,
-                        S=S, nz=nz, chunk=chunk, fresh=False)
+                        S=S, nz=nz, chunk=chunk, fresh=False, phase=1)
 
     F_all, bv, _mf = pl.pallas_call(
         fwd_wrapper,
@@ -303,7 +303,7 @@ def _par_slice_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
         scr = refs[21 + n_out:]
         if n_out == 1:
             posts_ = (posts_[0], None, None)
-        _wf._bwd_kernel(*ins, tuple(bci), *posts_, mbr, totr, None,
+        _wf._bwd_kernel(*ins, tuple(bci), *posts_, mbr, totr, None, phase=1,
                         *scr, S=S, nz=nz, chunk=chunk, mode=mode)
 
     outs = pl.pallas_call(

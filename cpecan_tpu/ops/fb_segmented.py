@@ -175,7 +175,7 @@ def _fwd_call(t_prob, streams, carry, S, nz, K, W, chunk, interpret):
         outs = refs[10:16]
         scr = refs[16:]
         _wf._fwd_kernel(*ins, *outs, *scr, S=S, nz=nz, chunk=chunk,
-                        fresh=False)
+                        fresh=False, phase=1)
 
     f1, f2, invm = carry
     F, bv, mf, co1, co2, com = pl.pallas_call(
@@ -287,7 +287,7 @@ def _seg_bwd_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
         if n_out == 1:
             posts_ = (posts_[0], None, None)
         _wf._bwd_kernel(*ins, tuple(bci), *posts_, mbr, totr, tuple(bco),
-                        *scr, S=S, nz=nz, chunk=chunk, mode=mode)
+                        *scr, S=S, nz=nz, chunk=chunk, mode=mode, phase=1)
 
     b1, b2, invb, emn, bvn = carry_b
     outs = pl.pallas_call(
@@ -406,7 +406,7 @@ def _seg_exp_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
         bco = refs[34:39]
         scr = refs[39:]
         _wf._exp_kernel(*ins, tuple(bci), *outs, tuple(bco), *scr,
-                        S=S, nz=nz, chunk=CH)
+                        S=S, nz=nz, chunk=CH, phase=1)
 
     f1, f2, _invm = carry_f
     fhc = jnp.stack([f2, f1])[None, :, :, None, :]

@@ -128,7 +128,7 @@ def _fwd_window_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     e_x, e_y, e_m = _fb._emissions(prob, win["wx"][:, :W], win["wy"][:, 1:])
     carry_out, F_win, mf_win = _fb.forward_window(
         prob, e_x, e_y, e_m, win["delta"], win["d_km1"],
-        win["jlo"], win["jhi"], carry, W)
+        win["jlo"], win["jhi"], carry, W, win["ks"])
     end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])
     fe_win = jnp.log(jnp.einsum("ksj,s->k", F_win, end_vec,
                                 precision=jax.lax.Precision.HIGHEST))
@@ -152,7 +152,7 @@ def _bwd_window_jit(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     # forward recompute from the checkpoint
     _, F_win, mf_win = _fb.forward_window(
         prob, e_x, e_y, e_m, win["delta"], win["d_km1"],
-        win["jlo"], win["jhi"], carry_f, W)
+        win["jlo"], win["jhi"], carry_f, W, win["ks"])
 
     # backward through the window from the exact carry
     end_vec = jnp.where(ragged_right, prob["ragged_end"], prob["end"])

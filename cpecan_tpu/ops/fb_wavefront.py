@@ -69,6 +69,12 @@ from cpecan_tpu.ops import fb as _fb
 # Default tile sizes: G pairs on sublanes, CH diagonals per grid step.
 GROUP = 8
 CHUNK = 64
+# Apply the per-row max-rescale only every NORM_EVERY diagonals (the
+# max+divide is ~25% of the row's vector work; fp32 absorbs the scale
+# drift between normalizations).  Must divide the chunk sizes (8, 16,
+# ...) and the segment/window bases mod-4 alignment; the scan engine
+# follows the identical schedule so streams stay comparable.
+NORM_EVERY = 4
 # (the expectation kernel streams ~2x the inputs and uses chunk // 2)
 
 # HBM budget for the F_all forward intermediate; batches whose F_all would
@@ -137,7 +143,7 @@ def nonzero_transitions_of(t_dev):
 def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
                 f0_ref, ci2_ref, cim_ref, fout_ref, bv_ref, mf_ref,
                 co1_ref, co2_ref, com_ref,
-                f1_s, f2_s, invm_s, *, S, nz, chunk, fresh=True):
+                f1_s, f2_s, invm_s, *, S, nz, chunk, fresh=True, phase=0):
     """Forward wavefront over one pair group.
 
     fresh=True (batch path / first segment): f0_ref is the diagonal-0
@@ -147,6 +153,17 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
     are the carried (F_{k0-1}, F_{k0-2}, 1/m_{k0-1}) and every row is a
     computed diagonal. co1/co2/com (optional) receive the final carry on
     the group's last grid step so the next segment can continue exactly.
+
+    Skip-normalization: the per-row max/rescale is only applied on
+    diagonals with global index k % NORM_EVERY == NORM_EVERY-1 (mf = 0
+    elsewhere) — the scaled-prob algebra is invariant to the schedule as
+    long as mf records exactly what was applied, and fp32 absorbs the
+    few rows of drift (growth <= 13x/row, shrink bounded by the smallest
+    in-band emission*transition).  `phase` = (first row's global index)
+    % NORM_EVERY: 0 for the batch path (row index == global diagonal),
+    1 for segment/window launches (segments start at k0 === 1 mod 8).
+    The scan engine (ops/fb.py) applies the identical schedule, so the
+    engines' F/mf streams stay elementwise comparable.
     """
     c = pl.program_id(1)
 
@@ -168,7 +185,7 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
     mid_rows = sorted({f for cl, f, t in nz if cl == 1})
     match_tm = [(f, t) for cl, f, t in nz if cl == 1 and t == 0]
 
-    def body(i, carry):
+    def row_update(i, carry, do_norm):
         F1, F2, invm = carry
         ex = ex_ref[0, i]
         ey = ey_ref[0, i]
@@ -197,12 +214,6 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
         zero = jnp.zeros_like(ex)
         cur = [zero if c_ is None else c_ for c_ in cur]
 
-        m = jnp.max(cur[0], axis=-1, keepdims=True)
-        for t in range(1, S):
-            m = jnp.maximum(m, jnp.max(cur[t], axis=-1, keepdims=True))
-        m = jnp.where(m > 0, m, 1.0)
-        r = 1.0 / m
-
         # bridgevec[r] = (sum_f F_{r-2}[f] * t_m[f, match]) / m_{r-1}: the
         # backward kernel dots this (shifted by dmid[r]) with
         # e_m[r] * B_r[match] and its own 1/mb to reproduce
@@ -212,21 +223,59 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
             bv = bv + F2[f] * t_ref[S + f, t]
         bv_ref[0, i] = bv * invm
 
-        F_new = []
+        if do_norm:
+            m = jnp.max(cur[0], axis=-1, keepdims=True)
+            for t in range(1, S):
+                m = jnp.maximum(m, jnp.max(cur[t], axis=-1, keepdims=True))
+            m = jnp.where(m > 0, m, 1.0)
+            r = 1.0 / m
+            F_new = tuple(cur[t] * r for t in range(S))
+            mf_ref[0, i] = jnp.log(m)
+            invm_new = jnp.broadcast_to(r, invm.shape)
+        else:
+            F_new = tuple(cur)
+            mf_ref[0, i] = jnp.zeros_like(mf_ref[0, i])
+            invm_new = jnp.ones_like(invm)
         for t in range(S):
-            f_new = cur[t] * r
-            fout_ref[0, i, t] = f_new
-            F_new.append(f_new)
-        mf_ref[0, i] = jnp.log(m)
-        return (tuple(F_new), tuple(F1),
-                jnp.broadcast_to(r, invm.shape))
+            fout_ref[0, i, t] = F_new[t]
+        return (F_new, tuple(F1), invm_new)
+
+    def run_rows(base, carry, offset):
+        # NORM_EVERY consecutive rows; static do_norm per unrolled slot
+        for rr in range(offset, NORM_EVERY):
+            carry = row_update(base + rr, carry,
+                               do_norm=(phase + rr) % NORM_EVERY
+                               == NORM_EVERY - 1)
+        return carry
 
     # DP carries ride fori_loop registers; VMEM scratch only bridges the
-    # sequential grid steps. Row 0 of chunk 0 is the precomputed F0.
+    # sequential grid steps. Row 0 of chunk 0 is the precomputed F0; the
+    # fresh path runs rows 1..NORM_EVERY-1 as a prologue (under the same
+    # c == 0 predicate) so the unrolled loop stays row-aligned.
     init = (tuple(f1_s[f] for f in range(S)),
             tuple(f2_s[f] for f in range(S)), invm_s[...])
-    lo = jnp.where(c == 0, 1, 0) if fresh else 0
-    F1c, F2c, invmc = jax.lax.fori_loop(lo, chunk, body, init)
+
+    if fresh:
+        @pl.when(c == 0)
+        def _():
+            pro = run_rows(0, init, offset=1)
+            for t in range(S):
+                f1_s[t] = pro[0][t]
+                f2_s[t] = pro[1][t]
+            invm_s[...] = pro[2]
+
+        init2 = (tuple(f1_s[f] for f in range(S)),
+                 tuple(f2_s[f] for f in range(S)), invm_s[...])
+        lo4 = jnp.where(c == 0, 1, 0)
+    else:
+        init2 = init
+        lo4 = 0
+
+    def body4(i4, carry):
+        return run_rows(i4 * NORM_EVERY, carry, offset=0)
+
+    F1c, F2c, invmc = jax.lax.fori_loop(lo4, chunk // NORM_EVERY, body4,
+                                        init2)
     for t in range(S):
         f1_s[t] = F1c[t]
         f2_s[t] = F2c[t]
@@ -251,7 +300,7 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
                 bci_refs, post_m_ref, post_x_ref, post_y_ref,
                 mb_ref, tot_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s,
-                *, S, nz, chunk, mode):
+                *, S, nz, chunk, mode, phase=0):
     """Backward+posterior wavefront (high-to-low over grid steps).
 
     bci_refs: optional (bi1, bi2, bii, biem, bibv) carry-in refs holding
@@ -283,7 +332,7 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
     y_targets = sorted({t for cl, f, t in nz if cl == 2})
     m_targets = sorted({t for cl, f, t in nz if cl == 1})
 
-    def body(i, carry):
+    def body(i, carry, do_norm=True):
         B1, B2, invb, em_next, bvn = carry
         ii = chunk - 1 - i
         efx = efx_ref[0, ii]
@@ -322,14 +371,20 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
         for f in range(S):
             raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
 
-        m = jnp.max(raw[0], axis=-1, keepdims=True)
-        for f in range(1, S):
-            m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
-        # m := m where (m > 0 and not at_end) else 1, as float arithmetic
-        good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
-        m = m * good + (1.0 - good)
-        r = 1.0 / m
-        B_new = tuple(raw[f] * r for f in range(S))
+        if do_norm:
+            m = jnp.max(raw[0], axis=-1, keepdims=True)
+            for f in range(1, S):
+                m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+            # m := m where (m > 0 and not at_end) else 1, float arithmetic
+            good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
+            m = m * good + (1.0 - good)
+            r = 1.0 / m
+            B_new = tuple(raw[f] * r for f in range(S))
+            mb_row = jnp.log(m)
+        else:
+            r = jnp.ones_like(ae_col)
+            B_new = tuple(raw)
+            mb_row = jnp.zeros_like(ae_col)
 
         # per-diagonal total: dot + bridge (reference :636-653)
         F_row = [f_ref[0, ii, s] for s in range(S)]
@@ -343,7 +398,7 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
         tot_ok = (total > 0).astype(jnp.float32)
         invt = tot_ok / (total + (1.0 - tot_ok))
 
-        mb_ref[0, ii] = jnp.log(m)
+        mb_ref[0, ii] = mb_row
         tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
 
         post_m_ref[0, ii] = jnp.where(
@@ -361,7 +416,18 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
     init = (tuple(b1_s[t] for t in range(S)),
             tuple(b2_s[t] for t in range(S)),
             invb_s[...], emn_s[...], bvn_s[...])
-    B1c, B2c, invbc, emnc, bvnc = jax.lax.fori_loop(0, chunk, body, init)
+
+    # Rows descend (ii = chunk-1-i); skip-normalize on the same global
+    # diagonal schedule as the forward kernel: norm iff
+    # (ii + phase) % NORM_EVERY == NORM_EVERY-1, which for the unrolled
+    # slot r (i = i4*NORM_EVERY + r, chunk % NORM_EVERY == 0) is r == phase.
+    def body4(i4, carry):
+        for rr in range(NORM_EVERY):
+            carry = body(i4 * NORM_EVERY + rr, carry, do_norm=rr == phase)
+        return carry
+
+    B1c, B2c, invbc, emnc, bvnc = jax.lax.fori_loop(
+        0, chunk // NORM_EVERY, body4, init)
     for t in range(S):
         b1_s[t] = B1c[t]
         b2_s[t] = B2c[t]
@@ -393,7 +459,7 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
                 adj1_ref, adj2_ref, wx_ref, wy_ref, bci_refs,
                 mb_ref, tot_ref, trans_ref, emis_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s, tacc_s, eacc_s,
-                *, S, nz, chunk):
+                *, S, nz, chunk, phase=0):
     """Same backward recursion as _bwd_kernel plus expected-count
     accumulation (semantics of diagonalCalculationExpectations /
     updateExpectations, reference impl/pairwiseAligner.c:735-746,
@@ -443,7 +509,7 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
     ys_rows = sorted({f for cl, f, t in nz if cl == 2})
     mid_rows = sorted({f for cl, f, t in nz if cl == 1})
 
-    def body(i, _):
+    def body(i, do_norm=True):
         ii = chunk - 1 - i
         efx = efx_ref[0, ii]
         efy = efy_ref[0, ii]
@@ -485,13 +551,19 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
         for f in range(S):
             raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
 
-        m = jnp.max(raw[0], axis=-1, keepdims=True)
-        for f in range(1, S):
-            m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
-        good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
-        m = m * good + (1.0 - good)
-        r = 1.0 / m
-        B_new = [raw[f] * r for f in range(S)]
+        if do_norm:
+            m = jnp.max(raw[0], axis=-1, keepdims=True)
+            for f in range(1, S):
+                m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+            good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
+            m = m * good + (1.0 - good)
+            r = 1.0 / m
+            B_new = [raw[f] * r for f in range(S)]
+            mb_row = jnp.log(m)
+        else:
+            r = jnp.ones_like(ae_col)
+            B_new = list(raw)
+            mb_row = jnp.zeros_like(ae_col)
 
         F_row = [f_ref[0, ii, s] for s in range(S)]
         dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
@@ -504,7 +576,7 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
         tot_ok = (total > 0).astype(jnp.float32)
         invt = tot_ok / (total + (1.0 - tot_ok))
 
-        mb_ref[0, ii] = jnp.log(m)
+        mb_ref[0, ii] = mb_row
         tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
 
         # ---- expectation accumulation ----
@@ -569,7 +641,14 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
         bvn_s[...] = bv_ref[0, ii]
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    # descending rows; same global skip-norm schedule as _bwd_kernel
+    # (norm at unrolled slot r == phase, see there)
+    def body4(i4, _):
+        for rr in range(NORM_EVERY):
+            body(i4 * NORM_EVERY + rr, do_norm=rr == phase)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // NORM_EVERY, body4, 0)
 
     @pl.when(cr == nc - 1)
     def _():
@@ -635,7 +714,7 @@ def _precompute_one(params, sx, sy, offsets, widths, lx, ly,
     pad = jnp.full((W + 1,), _fb._SENTINEL, jnp.int8)
     sx_pad = jnp.concatenate([pad, sx_s, pad])
     sy_pad = jnp.concatenate([pad, sy_rev, pad])
-    wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W)
+    wx, wy = _fb._symbol_windows_matmul(sx_pad, sy_pad, xoff, delta, LY, W)
 
     e_x, e_y, e_m = _fb._emissions(prob, wx[:, :W], wy[:, 1:])
     ef_x, ef_y, ef_m = _fb._emissions(prob, wx[:, 1:], wy[:, :W])
