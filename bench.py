@@ -321,6 +321,9 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000,
         assert len(pairs) > 0
 
     dt = _time_reps(run, reps=reps, warmup=1)
+    snap = metrics.snapshot()["stages"]
+    host_s = (snap.get("host_anchoring", {}).get("seconds", 0.0)
+              + snap.get("host_prep", {}).get("seconds", 0.0))
 
     ordered = filter_pairwise_alignment_to_make_pairs_ordered(
         pairs_mod.sort_pairs(result[0]), x, y, 0.9)
@@ -334,6 +337,8 @@ def bench_anchored_50kb(baseline: float, n: int = 50_000,
         "vs_baseline": round(cells[0] / dt / baseline, 2),
         "dp_cells_per_sec": round(cells[0] / dt),
         "vs_baseline_cells": round(cells[0] / dt / baseline, 2),
+        "host_prep_seconds": round(host_s, 3),
+        "host_prep_fraction": round(host_s / max(dt, 1e-9), 4),
         "sensitivity": round(tp / max(len(truth_set), 1), 4),
         "specificity": round(tp / max(len(pred), 1), 4),
     }

@@ -385,6 +385,14 @@ def get_anchors(seq_x: str, seq_y: str, p: PairwiseAlignmentParameters,
     (reference getBlastPairsForPairwiseAlignmentParameters :1162-1196).
     Returns (x, y, expansion) triples as an (N, 3) int64 array, strictly
     monotone in both coords."""
+    from cpecan_tpu.utils import metrics
+
+    with metrics.stage("host_anchoring"):
+        return _get_anchors(seq_x, seq_y, p, k)
+
+
+def _get_anchors(seq_x: str, seq_y: str, p: PairwiseAlignmentParameters,
+                 k: int = DEFAULT_KMER) -> np.ndarray:
     lx, ly = len(seq_x), len(seq_y)
     if lx * ly <= p.anchorMatrixBiggerThanThis:
         return np.empty((0, 3), np.int64)

@@ -180,24 +180,27 @@ def batch_posteriors(sm: StateMachine, jobs, p: PairwiseAlignmentParameters,
     keys = (("post_match", "post_gap_x", "post_gap_y")[:n_out])
     results = [[[] for _ in jobs] for _ in range(n_out)]
 
-    tasks = _expand_jobs(jobs, p)
+    with metrics.stage("host_prep"):
+        tasks = _expand_jobs(jobs, p)
     params = sm.device_params()
     buckets: dict = {}
     for t in tasks:
-        if t.anchors is None:
-            band = full_band(len(t.sub_x), len(t.sub_y))
-        else:
-            arr = np.asarray(t.anchors if isinstance(t.anchors, np.ndarray)
-                             else list(t.anchors), dtype=np.int64)
-            if arr.ndim == 1:
-                arr = arr.reshape(0, 3)
-            if p.dynamicAnchorExpansion:
-                band = construct_band(arr, len(t.sub_x), len(t.sub_y),
-                                      expansion=None)
+        with metrics.stage("host_prep"):
+            if t.anchors is None:
+                band = full_band(len(t.sub_x), len(t.sub_y))
             else:
-                band = construct_band(arr[:, :2], len(t.sub_x),
-                                      len(t.sub_y), p.diagonalExpansion)
-        W = _width_bucket(band.frame_width())
+                arr = np.asarray(
+                    t.anchors if isinstance(t.anchors, np.ndarray)
+                    else list(t.anchors), dtype=np.int64)
+                if arr.ndim == 1:
+                    arr = arr.reshape(0, 3)
+                if p.dynamicAnchorExpansion:
+                    band = construct_band(arr, len(t.sub_x), len(t.sub_y),
+                                          expansion=None)
+                else:
+                    band = construct_band(arr[:, :2], len(t.sub_x),
+                                          len(t.sub_y), p.diagonalExpansion)
+            W = _width_bucket(band.frame_width())
         if fb_streaming.should_stream(band.diagonal_number, W):
             # chunk too long for the two-pass engines: checkpointed
             # streaming in fixed memory (reference traceback windowing)
