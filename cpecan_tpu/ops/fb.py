@@ -113,6 +113,39 @@ def _symbol_windows_matmul(sx_pad, sy_pad, xoff, delta, LY, W, ks=None,
     return expand(ox, sx_pad), expand(oy, sy_pad)
 
 
+def _symbol_windows_slab(sx_pad, sy_pad, xoff, delta, LY, W, ks, pad_off,
+                         K_rows):
+    """Interior-window variant of _symbol_windows_matmul for the
+    streaming/segment engines: rows [ks[0], ks[0]+K) of a LONG pair.
+
+    The full-pair one-hot would be (K, len(seq)) — instead one dynamic
+    slab per side bounds it: within K rows the x-origin advances <= K
+    (monotone 0/1 steps) and the y-origin retreats <= K, so a
+    (K + W + 1)-long slab anchored at the first row's origin covers the
+    whole window and the one-hot is only (K, K + 1).  Callers must pad
+    the sequences with at least K + W + 1 sentinels on BOTH sides
+    (pad_off gives the leading pad) so the slabs never clip.
+    Exact-equivalent to _symbol_windows_scan on the same rows."""
+    K = xoff.shape[0]
+    del delta
+    ox = xoff - 1 + pad_off
+    oy = LY - ks + xoff - 1 + pad_off
+
+    def expand(orig, seq_pad, base):
+        slab = jax.lax.dynamic_slice(seq_pad, (base,), (K_rows + W + 1,))
+        n = K_rows + 1
+        win = jnp.stack([slab[j:j + n] for j in range(W + 1)], axis=1)
+        loc = orig - base
+        oh = (loc[:, None]
+              == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, win.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.astype(jnp.int8)
+
+    return expand(ox, sx_pad, ox[0]), expand(oy, sy_pad, oy[0] - K_rows)
+
+
 def _symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W, ks=None,
                          pad_off=None):
     """Per-diagonal symbol windows via a feather-weight int8 scan.

@@ -112,8 +112,12 @@ def _prep_one(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     jlo = sl(jlo_g) - base
     jhi = sl(jhi_g) - base
     ks = s + jnp.arange(Kp, dtype=jnp.int32)
-    wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W,
-                                      ks=ks, pad_off=pad_off)
+    if jax.default_backend() == "tpu":
+        wx, wy = _fb._symbol_windows_slab(sx_pad, sy_pad, xoff, delta, LY,
+                                          W, ks, pad_off, K_rows=Kp)
+    else:
+        wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY,
+                                          W, ks=ks, pad_off=pad_off)
     e_x, e_y, e_m = _fb._emissions(prob, wx[:, :W], wy[:, 1:])
     ef_x, ef_y, ef_m = _fb._emissions(prob, wx[:, 1:], wy[:, :W])
 
@@ -382,7 +386,7 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
 
     sx = np.asarray(seq_x_codes, np.int8)
     sy = np.asarray(seq_y_codes, np.int8)
-    pad_off = W + 1
+    pad_off = KpMAX + W + 1
     pad = np.full(pad_off, _fb._SENTINEL, np.int8)
     sx_pad = jnp.asarray(np.concatenate([pad, sx, pad]))
     sy_pad = jnp.asarray(np.concatenate([pad, sy[::-1], pad]))

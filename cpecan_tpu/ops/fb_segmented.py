@@ -80,8 +80,15 @@ def _prep_window(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,
     jlo = sl(jlo_g)
     jhi = sl(jhi_g)
     ks = k0 + jnp.arange(K, dtype=jnp.int32)
-    wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY, W,
-                                      ks=ks)
+    # callers pad both sequence ends with K + W + 1 sentinels: enough for
+    # the slab-matmul windows (TPU) and passed through to the scan (CPU)
+    pad_off = K + W + 1
+    if jax.default_backend() == "tpu":
+        wx, wy = _fb._symbol_windows_slab(sx_pad, sy_pad, xoff, delta, LY,
+                                          W, ks, pad_off, K_rows=K)
+    else:
+        wx, wy = _fb._symbol_windows_scan(sx_pad, sy_pad, xoff, delta, LY,
+                                          W, ks=ks, pad_off=pad_off)
     e_x, e_y, e_m = _fb._emissions(prob, wx[:, :W], wy[:, 1:])
 
     js = jnp.arange(W, dtype=jnp.int32)
@@ -490,7 +497,7 @@ def fb_pass_segmented(params, seq_x_codes, seq_y_codes,
 
     sx = np.asarray(seq_x_codes, np.int8)
     sy = np.asarray(seq_y_codes, np.int8)
-    pad = np.full(W + 1, _fb._SENTINEL, np.int8)
+    pad = np.full(K + W + 1, _fb._SENTINEL, np.int8)
     sx_pad = jnp.asarray(np.concatenate([pad, sx, pad]))
     sy_pad = jnp.asarray(np.concatenate([pad, sy[::-1], pad]))
     LY = int(ly)

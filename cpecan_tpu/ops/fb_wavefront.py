@@ -114,24 +114,28 @@ def nonzero_transitions(t_log: np.ndarray):
 
 # Device-transition-tensor -> triples cache: computing the triples costs a
 # device->host fetch (~13-23 ms on the tunneled link), paid once per
-# distinct tensor instead of once per engine launch. Strong refs keep the
-# id() keys valid; the model tensor is tiny and there are only a handful
-# of live StateMachines per process.
+# distinct tensor instead of once per engine launch. Weak references: a
+# model churn (many short-lived StateMachines) can never pin device
+# arrays alive through this module-global.
 _NZ_CACHE: dict = {}
 
 
 def nonzero_transitions_of(t_dev):
     """nonzero_transitions of a (possibly device-resident) transition
-    tensor, cached by array identity."""
+    tensor, cached by array identity (weakly referenced)."""
     import jax
+    import weakref
 
     hit = _NZ_CACHE.get(id(t_dev))
-    if hit is not None and hit[0] is t_dev:
+    if hit is not None and hit[0]() is t_dev:
         return hit[1]
     nz = nonzero_transitions(jax.device_get(t_dev))
     if len(_NZ_CACHE) > 64:
         _NZ_CACHE.clear()
-    _NZ_CACHE[id(t_dev)] = (t_dev, nz)
+    try:
+        _NZ_CACHE[id(t_dev)] = (weakref.ref(t_dev), nz)
+    except TypeError:
+        pass  # non-weakref-able array type: skip caching
     return nz
 
 
