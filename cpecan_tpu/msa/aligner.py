@@ -273,11 +273,51 @@ def _pairwise_align_columns(x_cols: list, y_cols: list, graph: WeightGraph,
     return alignment
 
 
+def _progressive_native(seq_frags, multiple_aligned_pairs, match_gamma,
+                        seq_pair_similarity_scores, seed=0):
+    """Whole progressive merge loop in C++ (native/progressive.cpp) —
+    the host merge dominates MSA wall-clock once posteriors come off the
+    TPU.  Returns the resulting ColumnStore, or None when the native
+    library is unavailable (callers fall back to the Python path, which
+    doubles as the parity oracle: tests/test_native_progressive.py)."""
+    from cpecan_tpu.align import native as native_mod
+
+    if not native_mod.available():
+        return None
+    store = ColumnStore([f.length for f in seq_frags])
+    mp = np.asarray(multiple_aligned_pairs, MULTIPLE_PAIR_DTYPE)
+    offs = np.asarray(store.offsets, np.int64)
+    pid1 = offs[mp["seq1"]] + mp["pos1"]
+    pid2 = offs[mp["seq2"]] + mp["pos2"]
+    # identical jitter stream to WeightGraph.add_pair (one draw per pair,
+    # in pair order)
+    rng = random.Random(seed)
+    jit = np.fromiter((rng.random() for _ in range(len(mp))), np.float64,
+                      len(mp))
+    weights = mp["prob"] / PAIR_ALIGNMENT_PROB_1 + jit * 0.00001
+    order = list(reversed(sorted(seq_pair_similarity_scores)))
+    ox = np.asarray([s1 for _s, s1, _s2 in order], np.int64)
+    oy = np.asarray([s2 for _s, _s1, s2 in order], np.int64)
+    parent = native_mod.progressive_msa(
+        np.asarray(store.seq_lengths, np.int64), pid1, pid2, weights,
+        ox, oy, match_gamma)
+    store.parent = parent.tolist()
+    members: dict = {}
+    for pid, r in enumerate(store.parent):
+        members.setdefault(r, []).append(pid)
+    store.members = {r: m for r, m in members.items() if len(m) > 1}
+    return store
+
+
 def get_multiple_sequence_alignment_progressive(
         seq_frags, multiple_aligned_pairs, match_gamma: float,
         seq_pair_similarity_scores) -> ColumnStore:
     """Progressive MSA merging sequences in descending similarity order
     (reference :512-556). seq_pair_similarity_scores: (score, seq1, seq2)."""
+    store = _progressive_native(seq_frags, multiple_aligned_pairs,
+                                match_gamma, seq_pair_similarity_scores)
+    if store is not None:
+        return store
     store, dag, graph = _make_graph(seq_frags, multiple_aligned_pairs)
     col_seqs = [
         [store.pid(s, p) for p in range(f.length)] for s, f in enumerate(seq_frags)
