@@ -342,14 +342,22 @@ def get_multiple_sequence_alignment_progressive(
 
 def filter_multiple_aligned_pairs(store: ColumnStore, multiple_aligned_pairs):
     """Keep pairs whose two positions landed in the same column
-    (reference :569-602)."""
+    (reference :569-602).  Vectorized: one path-compressing sweep turns
+    the union-find into a flat root array, then pids index it."""
     if len(multiple_aligned_pairs) == 0:
         return multiple_aligned_pairs
-    c1 = np.array([store.find_pos(int(p["seq1"]), int(p["pos1"]))
-                   for p in multiple_aligned_pairs])
-    c2 = np.array([store.find_pos(int(p["seq2"]), int(p["pos2"]))
-                   for p in multiple_aligned_pairs])
-    return multiple_aligned_pairs[c1 == c2]
+    # resolve the union-find by pointer doubling (log-depth numpy passes)
+    roots = np.asarray(store.parent, np.int64)
+    while True:
+        nxt = roots[roots]
+        if np.array_equal(nxt, roots):
+            break
+        roots = nxt
+    mp = multiple_aligned_pairs
+    offs = np.asarray(store.offsets, np.int64)
+    c1 = roots[offs[mp["seq1"]] + mp["pos1"]]
+    c2 = roots[offs[mp["seq2"]] + mp["pos2"]]
+    return mp[c1 == c2]
 
 
 def filter_pairwise_alignment_to_make_pairs_ordered(aligned_pairs, seq_x, seq_y,
