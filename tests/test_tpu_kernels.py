@@ -175,9 +175,12 @@ def _clean_env():
 @pytest.mark.slow
 def test_wavefront_kernels_compiled_on_tpu():
     env = _clean_env()
-    probe = subprocess.run([sys.executable, "-c", _PROBE],
-                           capture_output=True, text=True, timeout=300,
-                           env=env, cwd=REPO)
+    try:
+        probe = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True, timeout=300,
+                               env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        pytest.skip("no TPU device reachable (probe timed out: hung tunnel)")
     if "TPU_OK" not in probe.stdout:
         pytest.skip("no TPU device reachable")
     res = subprocess.run(
@@ -195,9 +198,12 @@ def test_streaming_engines_compiled_on_tpu():
     (ops/fb_streaming.py:253-270).  Closes the blind spot that let the
     round-2/3 Mosaic regressions reach the bench."""
     env = _clean_env()
-    probe = subprocess.run([sys.executable, "-c", _PROBE],
-                           capture_output=True, text=True, timeout=300,
-                           env=env, cwd=REPO)
+    try:
+        probe = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True, timeout=300,
+                               env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        pytest.skip("no TPU device reachable (probe timed out: hung tunnel)")
     if "TPU_OK" not in probe.stdout:
         pytest.skip("no TPU device reachable")
     res = subprocess.run(
