@@ -457,11 +457,13 @@ print("EMSCALE " + json.dumps({"iters_per_sec": 1.0 / dt}))
 
 def bench_em_scaling(baseline: float, n_pairs: int = 64,
                      seq_len: int = 1000) -> dict:
-    """Data-parallel EM scaling on a virtual CPU mesh (BASELINE config #4
-    scaling axis: 1 chip -> 1 host -> N devices). The same shard_map
-    expectation-reduction code path runs on real multi-chip meshes; the
-    virtual mesh measures the scaling of the sharded dispatch itself.
-    Reported per device count as iters/s plus parallel efficiency."""
+    """Data-parallel EM dispatch overhead on a virtual CPU mesh (BASELINE
+    config #4 scaling axis). The same shard_map expectation-reduction
+    code path runs on real multi-chip meshes; the virtual mesh CANNOT
+    show hardware speedup (all 8 "devices" share the host's cores), so
+    the reported ratio is the sharding overhead factor — 1.0 would mean
+    free sharding; real-chip scaling is bounded below by this path's
+    correctness (tests/test_multihost.py proves 2-process parity)."""
     points = {}
     for ndev in (1, 8):
         script = _EM_SCALING_RUN % {

@@ -56,9 +56,9 @@ from cpecan_tpu.ops import fb as _fb
 from cpecan_tpu.ops import fb_wavefront as _wf
 from cpecan_tpu.ops.fb_streaming import _host_frame, _pad_frame
 
-# Emission rows per window: small enough to expose ~100+ windows on a
+# Emission rows per window: small enough to expose ~50+ windows on a
 # 50 kb pair, large enough that the 2*burnin halo stays a minor fraction.
-WINDOW_ROWS = 512
+WINDOW_ROWS = 1024
 
 # HBM budget for one slice's forward block (windows are independent, so
 # slices just bound peak memory).
@@ -73,17 +73,17 @@ def burnin_rows(p) -> int:
     """Burn-in halo rows from the live config: the reference trusts a
     freshly-seeded backward matrix after traceBackDiagonals diagonals
     (impl/pairwiseAligner.c:797-817). The slowest-mixing direction is a
-    long-gap state (extension prob ~0.99), so use 2.4x the reference's
-    margin with a 96-row floor — measured on evolved 50 kb pairs the
-    thresholded entry set is IDENTICAL from 96 through 160 halo rows
-    (the boundary error decays geometrically and sits far below the
-    emission threshold), and the halo is pure overhead on every window.
-    Models with slower-mixing gap states or much lower thresholds can
-    restore a larger halo via CPECAN_TPU_BURNIN (rows, absolute)."""
+    long-gap state (extension prob ~0.99), so use 6.4x the reference's
+    margin with a 256-row floor: a 96-row halo measured exact on several
+    evolved-pair cases but left a 0.028 error on a 0.97 posterior on
+    another (tests/test_parallel.py burnin-robustness case) — 160 rows
+    cut it to 2e-3 and 256 to exact, matching geometric decay. The halo
+    is pure overhead per window, so WINDOW_ROWS scales with it.
+    CPECAN_TPU_BURNIN (rows, absolute) overrides in either direction."""
     env = os.environ.get("CPECAN_TPU_BURNIN")
     if env:
         return max(int(env), 8)
-    return max((12 * int(p.traceBackDiagonals)) // 5, 96)
+    return max((32 * int(p.traceBackDiagonals)) // 5, 256)
 
 
 def _neutral_row(jlo_row, jhi_row, S, W):

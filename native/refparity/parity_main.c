@@ -116,6 +116,14 @@ int main(int argc, char **argv) {
         stList_destruct(pairs);
         stList_destruct(gapX);
         stList_destruct(gapY);
+    } else if (strcmp(mode, "mea") == 0) {
+        double score = 0.0;
+        stList *pairs = getShiftedMEAAlignment(seqX, seqY, anchors, p, sM,
+                                               raggedLeft, raggedRight,
+                                               &score);
+        printf("score %.9f\n", score);
+        print_pairs(pairs, "");
+        stList_destruct(pairs);
     } else if (strcmp(mode, "forward") == 0) {
         double f = computeForwardProbability(seqX, seqY, anchors, p, sM,
                                              raggedLeft, raggedRight);

@@ -136,3 +136,43 @@ def test_parallel_batch_route(monkeypatch):
         pb = {(r["x"], r["y"]): r["prob"] for r in b}
         for kxy in common:
             assert abs(pa[kxy] - pb[kxy]) < 2e-2 * 1e7 + 30
+
+
+@pytest.mark.parametrize("thr,model", [(0.002, "five"), (0.01, "three")])
+def test_parallel_burnin_robust_across_models(thr, model):
+    """The burn-in floor must hold beyond the default config: a
+    slower-mixing 3-state model and a 5x lower threshold (the regimes
+    flagged in round-3 advice).  Entries must still match the exact
+    engine within the burn-in error budget, and CPECAN_TPU_BURNIN must
+    restore a larger halo when set."""
+    from cpecan_tpu.models.state_machine import state_machine3
+
+    x, y, band = _case(n=500, seed=31)
+    sm = state_machine5() if model == "five" else state_machine3()
+    W = max(8, band.frame_width())
+    default_burnin = fb_parallel.burnin_rows(PairwiseAlignmentParameters())
+    ref, L = _two_pass(sm, x, y, band, "posterior_match", W)
+    got = fb_parallel.fb_pass_parallel(
+        sm.device_params(), encode(x), encode(y), band.offsets, band.widths,
+        len(x), len(y), False, False, "posterior_match", W,
+        burnin=default_burnin, threshold=thr, window=128)
+    vals, ks, js = got["post_entries"]["post_match"]
+    dense = np.zeros_like(ref["post_match"])
+    dense[ks, js] = vals
+    ref_thr = np.where(ref["post_match"] >= thr, ref["post_match"], 0.0)
+    got_thr = np.where(dense >= thr, dense, 0.0)
+    diff = np.abs(got_thr[: L + 1] - ref_thr[: L + 1])
+    near_thr = np.minimum(np.abs(ref_thr[: L + 1] - thr),
+                          np.abs(got_thr[: L + 1] - thr)) < 2e-3
+    assert np.all((diff < 2e-3) | near_thr), float(diff.max())
+
+
+def test_burnin_env_override(monkeypatch):
+    from cpecan_tpu.config import PairwiseAlignmentParameters as P
+
+    p = P()
+    base = fb_parallel.burnin_rows(p)
+    monkeypatch.setenv("CPECAN_TPU_BURNIN", "256")
+    assert fb_parallel.burnin_rows(p) == 256
+    monkeypatch.delenv("CPECAN_TPU_BURNIN")
+    assert fb_parallel.burnin_rows(p) == base

@@ -222,3 +222,69 @@ class TestRandomParity:
                 state_machine5(), x, y, [], p, ragged_left=True,
                 ragged_right=True))
         assert_pair_sets_match(ref, ours, 0.01)
+
+
+class TestExpectationParity:
+    """EM E-step counts vs the C engine (getExpectationsUsingAnchors ->
+    updateExpectations, reference impl/pairwiseAligner.c:1500,:418-438):
+    expected transition/emission counts must match within the C logAdd's
+    approximation error, relative to each count's magnitude."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_expectation_counts(self, ref_bin, seed):
+        from cpecan_tpu.models.hmm import Hmm
+
+        rng = random.Random(500 + seed)
+        x = get_random_sequence(rng.randint(60, 150), rng)
+        y = evolve_sequence(x, rng)
+        text = run_ref(ref_bin, "expectations", "fiveState", x, y)
+        line1, line2 = [l for l in text.splitlines() if l.strip()][:2]
+        toks1 = line1.split()
+        S = 5
+        ref_trans = np.array(toks1[1:1 + S * S], float).reshape(S, S)
+        ref_like = float(toks1[1 + S * S])
+        ref_emis16 = np.array(line2.split(), float).reshape(S, 16)
+
+        sm = state_machine5()
+        p = PairwiseAlignmentParameters()
+        hmm = Hmm(sm.type, pseudo_expectation=1e-12)
+        pairwise.get_expectations_using_anchors(sm, hmm, x, y, [], p)
+
+        scale = max(ref_trans.max(), 1.0)
+        np.testing.assert_allclose(hmm.transitions, ref_trans,
+                                   rtol=2e-2, atol=2e-3 * scale)
+        e_scale = max(ref_emis16.max(), 1.0)
+        np.testing.assert_allclose(
+            hmm.emissions.reshape(S, 16), ref_emis16,
+            rtol=2e-2, atol=2e-3 * e_scale)
+        assert hmm.likelihood == pytest.approx(ref_like, rel=1e-2)
+
+
+class TestMeaParity:
+    """MEA + left-shift decode vs the C engine (getShiftedMEAAlignment,
+    reference :1767-1790).  Near-tied MEA paths can legitimately differ
+    when posteriors differ at the logAdd-approximation scale, so assert
+    score parity and high pair agreement rather than exact paths."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_shifted_mea(self, ref_bin, seed):
+        rng = random.Random(900 + seed)
+        x = get_random_sequence(rng.randint(50, 140), rng)
+        y = evolve_sequence(x, rng)
+        text = run_ref(ref_bin, "mea", "fiveState", x, y)
+        lines = [l for l in text.splitlines() if l.strip()]
+        ref_score = float(lines[0].split()[1]) / PAIR_ALIGNMENT_PROB_1
+        ref_pairs = {(int(t[0]), int(t[1]))
+                     for t in (l.split() for l in lines[1:])}
+
+        sm = state_machine5()
+        p = PairwiseAlignmentParameters()
+        pairs, score = pairwise.get_shifted_mea_alignment(sm, x, y, [], p)
+        our_pairs = {(int(q["x"]), int(q["y"])) for q in pairs}
+        our_score = score / PAIR_ALIGNMENT_PROB_1
+
+        assert our_score == pytest.approx(ref_score, rel=2e-2, abs=0.05)
+        if ref_pairs or our_pairs:
+            inter = len(ref_pairs & our_pairs)
+            union = len(ref_pairs | our_pairs)
+            assert inter / union > 0.9, (inter, union)
