@@ -65,7 +65,12 @@ int main(int argc, char **argv) {
     double threshold = argc > 3 ? atof(argv[3]) : 0.01;
     bool raggedLeft = argc > 4 ? atoi(argv[4]) != 0 : 0;
     bool raggedRight = argc > 5 ? atoi(argv[5]) != 0 : 0;
-    const char *hmmFile = argc > 6 ? argv[6] : NULL;
+    const char *hmmFile = (argc > 6 && argv[6][0] != '-') ? argv[6] : NULL;
+    /* optional banding overrides (mirror the library-struct fields the
+     * CLIs override): argv[7] = diagonalExpansion,
+     * argv[8] = splitMatrixBiggerThanThis */
+    long long diagExpansion = argc > 7 ? atoll(argv[7]) : -1;
+    long long splitMatrix = argc > 8 ? atoll(argv[8]) : -1;
 
     StateMachineType type;
     if (strcmp(smName, "fiveState") == 0) {
@@ -93,6 +98,12 @@ int main(int argc, char **argv) {
 
     PairwiseAlignmentParameters *p = pairwiseAlignmentBandingParameters_construct();
     p->threshold = threshold;
+    if (diagExpansion >= 0) {
+        p->diagonalExpansion = diagExpansion;
+    }
+    if (splitMatrix >= 0) {
+        p->splitMatrixBiggerThanThis = splitMatrix;
+    }
 
     char *seqX = read_line();
     char *seqY = read_line();

@@ -57,13 +57,17 @@ def ref_bin():
 
 
 def run_ref(ref_bin, mode, sm_name, seq_x, seq_y, anchors=(), threshold=0.01,
-            ragged_left=False, ragged_right=False):
+            ragged_left=False, ragged_right=False, expansion=None,
+            split_matrix=None):
     anchor_line = " ".join(f"{x},{y},{e}" for x, y, e in anchors)
     inp = f"{seq_x}\n{seq_y}\n{anchor_line}\n"
-    out = subprocess.run(
-        [ref_bin, mode, sm_name, str(threshold), str(int(ragged_left)),
-         str(int(ragged_right))],
-        input=inp, capture_output=True, text=True, check=True, timeout=300)
+    argv = [ref_bin, mode, sm_name, str(threshold), str(int(ragged_left)),
+            str(int(ragged_right))]
+    if expansion is not None or split_matrix is not None:
+        argv += ["-", str(-1 if expansion is None else expansion),
+                 str(-1 if split_matrix is None else split_matrix)]
+    out = subprocess.run(argv, input=inp, capture_output=True, text=True,
+                         check=True, timeout=300)
     return out.stdout
 
 
@@ -288,3 +292,39 @@ class TestMeaParity:
             inter = len(ref_pairs & our_pairs)
             union = len(ref_pairs | our_pairs)
             assert inter / union > 0.9, (inter, union)
+
+
+class TestSplittingParity:
+    """Large-gap splitting semantics vs the C engine (getSplitPoints +
+    getPosteriorProbsWithBandingSplittingAlignmentsByLargeGaps, reference
+    :1206-1326): identical anchors + a tiny split threshold force both
+    engines through the split path, including ragged-flag propagation to
+    outer chunks only."""
+
+    @pytest.mark.parametrize("ragged", [False, True])
+    def test_split_path_posteriors(self, ref_bin, ragged):
+        rng = random.Random(4242)
+        # two conserved blocks around an unrelated 120 bp middle: a large
+        # anchor gap that the tiny split threshold must cut
+        a = get_random_sequence(300, rng).upper()
+        b = get_random_sequence(300, rng).upper()
+        mid_x = get_random_sequence(200, rng).upper()
+        mid_y = get_random_sequence(190, rng).upper()
+        x = a + mid_x + b
+        y = (evolve_sequence(a, rng).upper() + mid_y
+             + evolve_sequence(b, rng).upper())
+        p = PairwiseAlignmentParameters(splitMatrixBiggerThanThis=50 * 50)
+        anchors = [(int(q), int(r), int(e)) for q, r, e in
+                   np.asarray(get_anchors(x, y,
+                                          PairwiseAlignmentParameters()))
+                   .reshape(-1, 3)]
+        assert anchors, "need anchors to exercise the split path"
+        ref = parse_ref_pairs(
+            run_ref(ref_bin, "pairs", "fiveState", x, y, anchors=anchors,
+                    threshold=0.01, ragged_left=ragged, ragged_right=ragged,
+                    split_matrix=50 * 50))
+        ours = ours_to_dict(
+            pairwise.get_aligned_pairs_using_anchors(
+                state_machine5(), x, y, anchors, p, ragged_left=ragged,
+                ragged_right=ragged))
+        assert_pair_sets_match(ref, ours, 0.01)
