@@ -13,6 +13,9 @@ extern "C" {
 
 void fastaWrite(char *sequence, char *header, FILE *file);
 char *getTempFile(void);
+void fastaReadToFunction(FILE *fastaFile,
+                         void (*fn)(const char *header, const char *sequence,
+                                    int64_t length));
 
 #ifdef __cplusplus
 }

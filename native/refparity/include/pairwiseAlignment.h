@@ -19,6 +19,8 @@ extern "C" {
 struct List {
     void **list;
     int64_t length;
+    int64_t maxLength;
+    void (*destructElement)(void *);
 };
 
 struct AlignmentOperation {
@@ -39,6 +41,21 @@ struct PairwiseAlignment {
     float score;
     struct List *operationList;
 };
+
+struct List *constructEmptyList(int64_t length, void (*destructElement)(void *));
+void listAppend(struct List *l, void *item);
+void destructList(struct List *l);
+
+struct AlignmentOperation *constructAlignmentOperation(int64_t opType,
+                                                       int64_t length,
+                                                       float score);
+void destructAlignmentOperation(struct AlignmentOperation *op);
+
+struct PairwiseAlignment *constructPairwiseAlignment(
+        char *contig1, int64_t start1, int64_t end1, int64_t strand1,
+        char *contig2, int64_t start2, int64_t end2, int64_t strand2,
+        float score, struct List *operationList);
+void checkPairwiseAlignment(struct PairwiseAlignment *pA);
 
 struct PairwiseAlignment *cigarRead(FILE *fileHandle);
 void cigarWrite(FILE *fileHandle, struct PairwiseAlignment *pA, int64_t asProbs);

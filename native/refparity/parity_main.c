@@ -17,6 +17,7 @@
  */
 #include "sonLib.h"
 #include "pairwiseAligner.h"
+#include "multipleAligner.h"
 
 static char *read_line(void) {
     char *line = stFile_getLineFromFile(stdin);
@@ -56,11 +57,139 @@ static void print_pairs(stList *pairs, const char *prefix) {
     }
 }
 
+/* poset_filter MODE: stdin = seqX, seqY, then one "score x y" line per
+ * aligned pair (score fixed-point PAIR_ALIGNMENT_PROB_1).  Runs the
+ * reference reweightAlignedPairs2 + filterPairwiseAlignmentToMakePairsOrdered
+ * (cPecanRealign.c:552-553) and prints surviving pairs.  Run with
+ * PARITY_ZERO_RANDOM=1 so the weight jitter is deterministic. */
+static void run_poset_filter(double gapGamma, double matchGamma) {
+    char *seqX = stFile_getLineFromFile(stdin);
+    char *seqY = stFile_getLineFromFile(stdin);
+    if (seqX == NULL || seqY == NULL) {
+        st_errAbort("poset_filter: missing sequence lines");
+    }
+    stList *alignedPairs =
+        stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
+    char *line;
+    while ((line = stFile_getLineFromFile(stdin)) != NULL) {
+        long long score, x, y;
+        if (sscanf(line, "%lld %lld %lld", &score, &x, &y) != 3) {
+            st_errAbort("poset_filter: bad pair line '%s'", line);
+        }
+        stList_append(alignedPairs, stIntTuple_construct3(score, x, y));
+        free(line);
+    }
+    alignedPairs = reweightAlignedPairs2(alignedPairs, strlen(seqX),
+                                         strlen(seqY), gapGamma);
+    alignedPairs = filterPairwiseAlignmentToMakePairsOrdered(
+        alignedPairs, seqX, seqY, matchGamma);
+    print_pairs(alignedPairs, "");
+    stList_destruct(alignedPairs);
+    free(seqX);
+    free(seqY);
+}
+
+/* msa MODE: stdin = N, then N lines "leftEndId rightEndId sequence".
+ * Runs the reference makeAlignment (multipleAligner.c:887) and prints
+ * each column as sorted "seq,pos" members, plus the filtered
+ * consistent pairs and chosen pairwise alignments. */
+static int cmp_columns_member(const void *a, const void *b) {
+    return stIntTuple_cmpFn((stIntTuple *)a, (stIntTuple *)b);
+}
+
+static void run_msa(StateMachine *sM, PairwiseAlignmentParameters *p,
+                    long long spanningTrees, long long maxPairsToConsider,
+                    int useProgressive, double matchGamma) {
+    char *nLine = stFile_getLineFromFile(stdin);
+    if (nLine == NULL) {
+        st_errAbort("msa: missing seq count");
+    }
+    int64_t n = atoll(nLine);
+    free(nLine);
+    stList *seqFrags = stList_construct3(0, (void (*)(void *))seqFrag_destruct);
+    for (int64_t i = 0; i < n; i++) {
+        char *line = stFile_getLineFromFile(stdin);
+        if (line == NULL) {
+            st_errAbort("msa: missing seq line %" PRIi64, i);
+        }
+        long long leftEnd, rightEnd;
+        int consumed = 0;
+        if (sscanf(line, "%lld %lld %n", &leftEnd, &rightEnd, &consumed) != 2) {
+            st_errAbort("msa: bad seq line '%s'", line);
+        }
+        stList_append(seqFrags,
+                      seqFrag_construct(line + consumed, leftEnd, rightEnd));
+        free(line);
+    }
+    MultipleAlignment *mA = makeAlignment(sM, seqFrags, spanningTrees,
+                                          maxPairsToConsider, useProgressive,
+                                          matchGamma, p);
+    /* Columns: one line per column, members sorted, columns sorted by
+     * first member, so output is canonical. */
+    stList *columnLines = stList_construct3(0, free);
+    stSetIterator *it = stSet_getIterator(mA->columns);
+    Column *c;
+    while ((c = stSet_getNext(it)) != NULL) {
+        stList *members =
+            stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
+        for (Column *m = c; m != NULL; m = m->nColumn) {
+            stList_append(members,
+                          stIntTuple_construct2(m->seqName, m->position));
+        }
+        stList_sort(members, cmp_columns_member);
+        /* build "s,p s,p ..." */
+        char buf[1 << 16];
+        size_t off = 0;
+        for (int64_t i = 0; i < stList_length(members); i++) {
+            stIntTuple *t = stList_get(members, i);
+            off += (size_t)snprintf(buf + off, sizeof(buf) - off,
+                                    "%s%" PRIi64 ",%" PRIi64,
+                                    i == 0 ? "" : " ", stIntTuple_get(t, 0),
+                                    stIntTuple_get(t, 1));
+        }
+        stList_append(columnLines, stString_copy(buf));
+        stList_destruct(members);
+    }
+    stSet_destructIterator(it);
+    stList_sort(columnLines,
+                (int (*)(const void *, const void *))strcmp);
+    printf("columns %" PRIi64 "\n", stList_length(columnLines));
+    for (int64_t i = 0; i < stList_length(columnLines); i++) {
+        printf("%s\n", (char *)stList_get(columnLines, i));
+    }
+    printf("pairs %" PRIi64 "\n", stList_length(mA->alignedPairs));
+    for (int64_t i = 0; i < stList_length(mA->alignedPairs); i++) {
+        stIntTuple *t = stList_get(mA->alignedPairs, i);
+        printf("%" PRIi64 " %" PRIi64 " %" PRIi64 " %" PRIi64 " %.9f\n",
+               stIntTuple_get(t, 1), stIntTuple_get(t, 2),
+               stIntTuple_get(t, 3), stIntTuple_get(t, 4),
+               (double)stIntTuple_get(t, 0) / PAIR_ALIGNMENT_PROB_1);
+    }
+    printf("chosen %" PRIi64 "\n", stList_length(mA->chosenPairwiseAlignments));
+    for (int64_t i = 0; i < stList_length(mA->chosenPairwiseAlignments); i++) {
+        stIntTuple *t = stList_get(mA->chosenPairwiseAlignments, i);
+        printf("%" PRIi64 " %" PRIi64 " %.9f\n", stIntTuple_get(t, 1),
+               stIntTuple_get(t, 2),
+               (double)stIntTuple_get(t, 0) / PAIR_ALIGNMENT_PROB_1);
+    }
+    multipleAlignment_destruct(mA);
+    stList_destruct(columnLines);
+    stList_destruct(seqFrags);
+}
+
 int main(int argc, char **argv) {
     if (argc < 3) {
         st_errAbort("usage: parity_main MODE SMTYPE [threshold] [raggedL] [raggedR] [hmmFile]");
     }
     const char *mode = argv[1];
+    if (strcmp(mode, "poset_filter") == 0) {
+        /* parity_main poset_filter gapGamma matchGamma */
+        if (argc < 4) {
+            st_errAbort("usage: parity_main poset_filter gapGamma matchGamma");
+        }
+        run_poset_filter(atof(argv[2]), atof(argv[3]));
+        return 0;
+    }
     const char *smName = argv[2];
     double threshold = argc > 3 ? atof(argv[3]) : 0.01;
     bool raggedLeft = argc > 4 ? atoi(argv[4]) != 0 : 0;
@@ -103,6 +232,21 @@ int main(int argc, char **argv) {
     }
     if (splitMatrix >= 0) {
         p->splitMatrixBiggerThanThis = splitMatrix;
+    }
+
+    if (strcmp(mode, "msa") == 0) {
+        /* parity_main msa SMTYPE threshold raggedL raggedR hmmFile
+         *   diagExpansion splitMatrix spanningTrees maxPairs
+         *   useProgressive matchGamma
+         * (positions 3..8 reuse the pairwise-mode slots; "-" skips) */
+        long long spanningTrees = argc > 9 ? atoll(argv[9]) : 2;
+        long long maxPairs = argc > 10 ? atoll(argv[10]) : 10000;
+        int useProgressive = argc > 11 ? atoi(argv[11]) : 0;
+        double matchGamma = argc > 12 ? atof(argv[12]) : 0.0;
+        run_msa(sM, p, spanningTrees, maxPairs, useProgressive, matchGamma);
+        pairwiseAlignmentBandingParameters_destruct(p);
+        stateMachine_destruct(sM);
+        return 0;
     }
 
     char *seqX = read_line();

@@ -104,11 +104,45 @@ void stList_destruct(stList *l) {
     free(l);
 }
 
+void *stList_peek(stList *l) {
+    assert(l->length > 0);
+    return l->list[l->length - 1];
+}
+
+stList *stList_copy(stList *l, void (*destructFn)(void *)) {
+    stList *r = stList_construct3(0, destructFn);
+    stList_appendAll(r, l);
+    return r;
+}
+
+stList *stList_filter2(stList *l, bool (*fn)(void *, void *), void *extraArg) {
+    /* sonLib semantics: returns a new non-owning list of passing items. */
+    stList *r = stList_construct();
+    for (int64_t i = 0; i < l->length; i++) {
+        if (fn(l->list[i], extraArg)) {
+            stList_append(r, l->list[i]);
+        }
+    }
+    return r;
+}
+
+void stList_mapReplace(stList *l, void *(*fn)(void *, void *), void *extraArg) {
+    for (int64_t i = 0; i < l->length; i++) {
+        l->list[i] = fn(l->list[i], extraArg);
+    }
+}
+
 /* ---- int tuples ---- */
 
 static stIntTuple *stIntTuple_alloc(int64_t n) {
     stIntTuple *t = st_malloc(sizeof(stIntTuple) + (size_t)n * sizeof(int64_t));
     t->length = n;
+    return t;
+}
+
+stIntTuple *stIntTuple_construct1(int64_t a) {
+    stIntTuple *t = stIntTuple_alloc(1);
+    t->vals[0] = a;
     return t;
 }
 
@@ -136,9 +170,24 @@ stIntTuple *stIntTuple_construct4(int64_t a, int64_t b, int64_t c, int64_t d) {
     return t;
 }
 
+stIntTuple *stIntTuple_construct5(int64_t a, int64_t b, int64_t c, int64_t d,
+                                  int64_t e) {
+    stIntTuple *t = stIntTuple_alloc(5);
+    t->vals[0] = a;
+    t->vals[1] = b;
+    t->vals[2] = c;
+    t->vals[3] = d;
+    t->vals[4] = e;
+    return t;
+}
+
 int64_t stIntTuple_get(stIntTuple *t, int64_t i) {
     assert(i >= 0 && i < t->length);
     return t->vals[i];
+}
+
+int64_t stIntTuple_getPosition(stIntTuple *t, int64_t i) {
+    return stIntTuple_get(t, i);
 }
 
 int64_t stIntTuple_length(stIntTuple *t) {
@@ -217,6 +266,109 @@ void *stSortedSet_search(stSortedSet *s, void *v) {
     return NULL;
 }
 
+/* index of first item > v (upper bound) */
+static int64_t sortedSet_upper(stSortedSet *s, void *v) {
+    int64_t lo = 0, hi = s->length;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (s->cmp(s->items[mid], v) <= 0) {
+            lo = mid + 1;
+        } else {
+            hi = mid;
+        }
+    }
+    return lo;
+}
+
+void *stSortedSet_searchLessThan(stSortedSet *s, void *v) {
+    int64_t i = sortedSet_lower(s, v);
+    return i > 0 ? s->items[i - 1] : NULL;
+}
+
+void *stSortedSet_searchGreaterThan(stSortedSet *s, void *v) {
+    int64_t i = sortedSet_upper(s, v);
+    return i < s->length ? s->items[i] : NULL;
+}
+
+void *stSortedSet_searchGreaterThanOrEqual(stSortedSet *s, void *v) {
+    int64_t i = sortedSet_lower(s, v);
+    return i < s->length ? s->items[i] : NULL;
+}
+
+void stSortedSet_remove(stSortedSet *s, void *v) {
+    /* sonLib semantics: remove without destructing the element. */
+    int64_t i = sortedSet_lower(s, v);
+    if (i < s->length && s->cmp(s->items[i], v) == 0) {
+        memmove(s->items + i, s->items + i + 1,
+                (size_t)(s->length - i - 1) * sizeof(void *));
+        s->length--;
+    }
+}
+
+int64_t stSortedSet_size(stSortedSet *s) {
+    return s->length;
+}
+
+void *stSortedSet_getFirst(stSortedSet *s) {
+    return s->length > 0 ? s->items[0] : NULL;
+}
+
+void *stSortedSet_getLast(stSortedSet *s) {
+    return s->length > 0 ? s->items[s->length - 1] : NULL;
+}
+
+void stSortedSet_setDestructor(stSortedSet *s, void (*destructFn)(void *)) {
+    s->destructFn = destructFn;
+}
+
+/* Iterator mirrors libavl's traverser: pos == -1 is the null position;
+ * getNext ascends from the smallest, getPrevious from a fresh iterator
+ * descends from the largest (what multipleAligner.c:393 expects). */
+struct _stSortedSetIterator {
+    stSortedSet *s;
+    int64_t pos;
+};
+
+stSortedSetIterator *stSortedSet_getIterator(stSortedSet *s) {
+    stSortedSetIterator *it = st_malloc(sizeof(stSortedSetIterator));
+    it->s = s;
+    it->pos = -1;
+    return it;
+}
+
+void *stSortedSet_getNext(stSortedSetIterator *it) {
+    int64_t next = it->pos + 1; /* -1 -> 0 */
+    if (next >= it->s->length) {
+        it->pos = -1;
+        return NULL;
+    }
+    it->pos = next;
+    return it->s->items[next];
+}
+
+void *stSortedSet_getPrevious(stSortedSetIterator *it) {
+    int64_t prev = it->pos == -1 ? it->s->length - 1 : it->pos - 1;
+    if (prev < 0) {
+        it->pos = -1;
+        return NULL;
+    }
+    it->pos = prev;
+    return it->s->items[prev];
+}
+
+void stSortedSet_destructIterator(stSortedSetIterator *it) {
+    free(it);
+}
+
+stSortedSet *stList_getSortedSet(stList *l,
+                                 int (*cmp)(const void *, const void *)) {
+    stSortedSet *s = stSortedSet_construct3(cmp, NULL);
+    for (int64_t i = 0; i < l->length; i++) {
+        stSortedSet_insert(s, l->list[i]);
+    }
+    return s;
+}
+
 void stSortedSet_destruct(stSortedSet *s) {
     if (s->destructFn != NULL) {
         for (int64_t i = 0; i < s->length; i++) {
@@ -235,6 +387,33 @@ char *stString_copy(const char *s) {
         st_errAbort("shim: strdup failed");
     }
     return r;
+}
+
+char *stString_reverseComplementString(const char *s) {
+    size_t n = strlen(s);
+    char *r = st_malloc(n + 1);
+    for (size_t i = 0; i < n; i++) {
+        char c = s[n - 1 - i];
+        char rc;
+        switch (c) {
+        case 'A': rc = 'T'; break;
+        case 'T': rc = 'A'; break;
+        case 'G': rc = 'C'; break;
+        case 'C': rc = 'G'; break;
+        case 'a': rc = 't'; break;
+        case 't': rc = 'a'; break;
+        case 'g': rc = 'c'; break;
+        case 'c': rc = 'g'; break;
+        default: rc = c; break;
+        }
+        r[i] = rc;
+    }
+    r[n] = '\0';
+    return r;
+}
+
+bool stString_eq(const char *s1, const char *s2) {
+    return strcmp(s1, s2) == 0;
 }
 
 char *stString_print(const char *fmt, ...) {
@@ -353,6 +532,10 @@ void st_logInfo(const char *fmt, ...) {
     (void)fmt;
 }
 
+void st_setLogLevelFromString(const char *logLevelString) {
+    (void)logLevelString; /* logging is a no-op in the parity harness */
+}
+
 int64_t st_system(const char *fmt, ...) {
     va_list ap;
     va_start(ap, fmt);
@@ -377,10 +560,21 @@ void stThrowNew(const char *exceptionId, const char *fmt, ...) {
 }
 
 static uint64_t shim_rng_state = 0x9E3779B97F4A7C15ull;
+static int shim_rng_zero = -1; /* -1 = unchecked, else 0/1 */
 
 double st_random(void) {
     /* xorshift64*; parity tests fix sequences host-side so the exact
-     * generator is irrelevant, it just has to be a valid U[0,1). */
+     * generator is irrelevant, it just has to be a valid U[0,1).
+     * PARITY_ZERO_RANDOM=1 pins it to 0 so the MSA weight jitter
+     * (multipleAligner.c:145) and spanning-tree tie-break (:872) become
+     * deterministic for cross-implementation parity tests. */
+    if (shim_rng_zero == -1) {
+        const char *e = getenv("PARITY_ZERO_RANDOM");
+        shim_rng_zero = (e != NULL && e[0] == '1') ? 1 : 0;
+    }
+    if (shim_rng_zero) {
+        return 0.0;
+    }
     shim_rng_state ^= shim_rng_state >> 12;
     shim_rng_state ^= shim_rng_state << 25;
     shim_rng_state ^= shim_rng_state >> 27;
@@ -439,7 +633,7 @@ int64_t stJson_parseFloatArray(double *toArray, int64_t arrayLength, char *js,
     st_errAbort("shim: JSON parsing not supported in parity harness");
 }
 
-/* ---- bioio / cigar abort stubs (blast path unused in harness) ---- */
+/* ---- bioio stubs still unsupported (the subprocess-lastz path) ---- */
 
 void fastaWrite(char *sequence, char *header, FILE *file) {
     (void)sequence;
@@ -452,19 +646,6 @@ char *getTempFile(void) {
     st_errAbort("shim: getTempFile unsupported (lastz path disabled)");
 }
 
-struct PairwiseAlignment *cigarRead(FILE *fileHandle) {
-    (void)fileHandle;
-    st_errAbort("shim: cigarRead unsupported (lastz path disabled)");
-}
-
-void cigarWrite(FILE *fileHandle, struct PairwiseAlignment *pA, int64_t asProbs) {
-    (void)fileHandle;
-    (void)pA;
-    (void)asProbs;
-    st_errAbort("shim: cigarWrite unsupported");
-}
-
-void destructPairwiseAlignment(struct PairwiseAlignment *pA) {
-    (void)pA;
-    st_errAbort("shim: destructPairwiseAlignment unsupported");
-}
+/* cigar/fasta/List/hash/set/poset/graph implementations live in
+ * sonlib_shim_msa.c (added for the multipleAligner.c + cPecanRealign.c
+ * parity builds). */
