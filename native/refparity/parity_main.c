@@ -97,6 +97,116 @@ static int cmp_columns_member(const void *a, const void *b) {
     return stIntTuple_cmpFn((stIntTuple *)a, (stIntTuple *)b);
 }
 
+static void print_columns(stSet *columns) {
+    stList *columnLines = stList_construct3(0, free);
+    stSetIterator *it = stSet_getIterator(columns);
+    Column *c;
+    while ((c = stSet_getNext(it)) != NULL) {
+        stList *members =
+            stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
+        for (Column *m = c; m != NULL; m = m->nColumn) {
+            stList_append(members,
+                          stIntTuple_construct2(m->seqName, m->position));
+        }
+        stList_sort(members, cmp_columns_member);
+        char buf[1 << 16];
+        size_t off = 0;
+        for (int64_t i = 0; i < stList_length(members); i++) {
+            stIntTuple *t = stList_get(members, i);
+            off += (size_t)snprintf(buf + off, sizeof(buf) - off,
+                                    "%s%" PRIi64 ",%" PRIi64,
+                                    i == 0 ? "" : " ", stIntTuple_get(t, 0),
+                                    stIntTuple_get(t, 1));
+        }
+        stList_append(columnLines, stString_copy(buf));
+        stList_destruct(members);
+    }
+    stSet_destructIterator(it);
+    stList_sort(columnLines, (int (*)(const void *, const void *))strcmp);
+    printf("columns %" PRIi64 "\n", stList_length(columnLines));
+    for (int64_t i = 0; i < stList_length(columnLines); i++) {
+        printf("%s\n", (char *)stList_get(columnLines, i));
+    }
+    stList_destruct(columnLines);
+}
+
+/* msa_merge MODE: isolates the column-merge layer from the pairwise
+ * engine.  stdin: N, then N lines "leftEndId rightEndId sequence", then
+ * one line "score seq1 pos1 seq2 pos2" per multiple-aligned pair, then
+ * (progressive only) similarity lines "score seqX seqY".  Runs
+ * getMultipleSequenceAlignment[Progressive] + filterMultipleAlignedPairs
+ * on EXACTLY these pairs and prints the partition + surviving pairs. */
+static void run_msa_merge(int progressive, double matchGamma) {
+    char *nLine = stFile_getLineFromFile(stdin);
+    if (nLine == NULL) {
+        st_errAbort("msa_merge: missing seq count");
+    }
+    int64_t n = atoll(nLine);
+    free(nLine);
+    stList *seqFrags = stList_construct3(0, (void (*)(void *))seqFrag_destruct);
+    for (int64_t i = 0; i < n; i++) {
+        char *line = stFile_getLineFromFile(stdin);
+        if (line == NULL) {
+            st_errAbort("msa_merge: missing seq line %" PRIi64, i);
+        }
+        long long leftEnd, rightEnd;
+        int consumed = 0;
+        if (sscanf(line, "%lld %lld %n", &leftEnd, &rightEnd, &consumed) != 2) {
+            st_errAbort("msa_merge: bad seq line '%s'", line);
+        }
+        stList_append(seqFrags,
+                      seqFrag_construct(line + consumed, leftEnd, rightEnd));
+        free(line);
+    }
+    char *mLine = stFile_getLineFromFile(stdin);
+    int64_t m = mLine == NULL ? 0 : atoll(mLine);
+    free(mLine);
+    stList *pairs = stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
+    for (int64_t i = 0; i < m; i++) {
+        char *line = stFile_getLineFromFile(stdin);
+        long long sc, s1, p1, s2, p2;
+        if (line == NULL
+            || sscanf(line, "%lld %lld %lld %lld %lld", &sc, &s1, &p1, &s2,
+                      &p2) != 5) {
+            st_errAbort("msa_merge: bad pair line");
+        }
+        stList_append(pairs, stIntTuple_construct5(sc, s1, p1, s2, p2));
+        free(line);
+    }
+    stSet *columns;
+    if (progressive) {
+        stList *sims =
+            stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
+        char *line;
+        while ((line = stFile_getLineFromFile(stdin)) != NULL) {
+            long long sc, sx, sy;
+            if (sscanf(line, "%lld %lld %lld", &sc, &sx, &sy) != 3) {
+                st_errAbort("msa_merge: bad similarity line '%s'", line);
+            }
+            stList_append(sims, stIntTuple_construct3(sc, sx, sy));
+            free(line);
+        }
+        columns = getMultipleSequenceAlignmentProgressive(seqFrags, pairs,
+                                                          matchGamma, sims);
+        stList_destruct(sims);
+    } else {
+        columns = getMultipleSequenceAlignment(seqFrags, pairs, matchGamma);
+    }
+    print_columns(columns);
+    pairs = filterMultipleAlignedPairs(columns, pairs);
+    printf("pairs %" PRIi64 "\n", stList_length(pairs));
+    for (int64_t i = 0; i < stList_length(pairs); i++) {
+        stIntTuple *t = stList_get(pairs, i);
+        printf("%" PRIi64 " %" PRIi64 " %" PRIi64 " %" PRIi64 " %" PRIi64 "\n",
+               stIntTuple_get(t, 0), stIntTuple_get(t, 1),
+               stIntTuple_get(t, 2), stIntTuple_get(t, 3),
+               stIntTuple_get(t, 4));
+    }
+    stList_destruct(pairs);
+    stSet_destruct(columns);
+    stList_destruct(seqFrags);
+}
+
 static void run_msa(StateMachine *sM, PairwiseAlignmentParameters *p,
                     long long spanningTrees, long long maxPairsToConsider,
                     int useProgressive, double matchGamma) {
@@ -124,39 +234,8 @@ static void run_msa(StateMachine *sM, PairwiseAlignmentParameters *p,
     MultipleAlignment *mA = makeAlignment(sM, seqFrags, spanningTrees,
                                           maxPairsToConsider, useProgressive,
                                           matchGamma, p);
-    /* Columns: one line per column, members sorted, columns sorted by
-     * first member, so output is canonical. */
-    stList *columnLines = stList_construct3(0, free);
-    stSetIterator *it = stSet_getIterator(mA->columns);
-    Column *c;
-    while ((c = stSet_getNext(it)) != NULL) {
-        stList *members =
-            stList_construct3(0, (void (*)(void *))stIntTuple_destruct);
-        for (Column *m = c; m != NULL; m = m->nColumn) {
-            stList_append(members,
-                          stIntTuple_construct2(m->seqName, m->position));
-        }
-        stList_sort(members, cmp_columns_member);
-        /* build "s,p s,p ..." */
-        char buf[1 << 16];
-        size_t off = 0;
-        for (int64_t i = 0; i < stList_length(members); i++) {
-            stIntTuple *t = stList_get(members, i);
-            off += (size_t)snprintf(buf + off, sizeof(buf) - off,
-                                    "%s%" PRIi64 ",%" PRIi64,
-                                    i == 0 ? "" : " ", stIntTuple_get(t, 0),
-                                    stIntTuple_get(t, 1));
-        }
-        stList_append(columnLines, stString_copy(buf));
-        stList_destruct(members);
-    }
-    stSet_destructIterator(it);
-    stList_sort(columnLines,
-                (int (*)(const void *, const void *))strcmp);
-    printf("columns %" PRIi64 "\n", stList_length(columnLines));
-    for (int64_t i = 0; i < stList_length(columnLines); i++) {
-        printf("%s\n", (char *)stList_get(columnLines, i));
-    }
+    /* Canonical output: members sorted within a column, columns sorted. */
+    print_columns(mA->columns);
     printf("pairs %" PRIi64 "\n", stList_length(mA->alignedPairs));
     for (int64_t i = 0; i < stList_length(mA->alignedPairs); i++) {
         stIntTuple *t = stList_get(mA->alignedPairs, i);
@@ -173,7 +252,6 @@ static void run_msa(StateMachine *sM, PairwiseAlignmentParameters *p,
                (double)stIntTuple_get(t, 0) / PAIR_ALIGNMENT_PROB_1);
     }
     multipleAlignment_destruct(mA);
-    stList_destruct(columnLines);
     stList_destruct(seqFrags);
 }
 
@@ -188,6 +266,15 @@ int main(int argc, char **argv) {
             st_errAbort("usage: parity_main poset_filter gapGamma matchGamma");
         }
         run_poset_filter(atof(argv[2]), atof(argv[3]));
+        return 0;
+    }
+    if (strcmp(mode, "msa_merge") == 0) {
+        /* parity_main msa_merge greedy|progressive matchGamma */
+        if (argc < 4) {
+            st_errAbort(
+                "usage: parity_main msa_merge greedy|progressive matchGamma");
+        }
+        run_msa_merge(strcmp(argv[2], "progressive") == 0, atof(argv[3]));
         return 0;
     }
     const char *smName = argv[2];
