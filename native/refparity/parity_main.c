@@ -321,6 +321,33 @@ int main(int argc, char **argv) {
         p->splitMatrixBiggerThanThis = splitMatrix;
     }
 
+    if (strcmp(mode, "em_corpus") == 0) {
+        /* E-step over a whole corpus accumulated into ONE Hmm, exactly
+         * as one cPecanRealign --outputExpectations process does over
+         * its chunk (cPecanRealign.c:492-534,608-614).  stdin: K, then
+         * K groups of (seqX, seqY, anchorLine).  Prints hmm_write. */
+        char *kLine = read_line();
+        int64_t k = atoll(kLine);
+        free(kLine);
+        Hmm *hmm = hmm_constructEmpty(0.000000000001, type);
+        for (int64_t i = 0; i < k; i++) {
+            char *sx = read_line();
+            char *sy = read_line();
+            char *aLine = stFile_getLineFromFile(stdin);
+            stList *anchors = parse_anchors(aLine == NULL ? "" : aLine);
+            free(aLine);
+            getExpectationsUsingAnchors(sM, hmm, sx, sy, anchors, p,
+                                        raggedLeft, raggedRight);
+            stList_destruct(anchors);
+            free(sx);
+            free(sy);
+        }
+        hmm_write(hmm, stdout);
+        hmm_destruct(hmm);
+        pairwiseAlignmentBandingParameters_destruct(p);
+        stateMachine_destruct(sM);
+        return 0;
+    }
     if (strcmp(mode, "msa") == 0) {
         /* parity_main msa SMTYPE threshold raggedL raggedR hmmFile
          *   diagExpansion splitMatrix spanningTrees maxPairs
