@@ -23,6 +23,15 @@ import os, sys
 os.environ.pop("XLA_FLAGS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
+# under pytest-xdist CPU contention the cross-process topology exchange
+# can exceed its default deadline; give it slack (option names vary by
+# jax version, hence the guards)
+for opt, val in (("jax_cpu_get_local_topology_timeout_minutes", 10),
+                 ("jax_cpu_get_global_topology_timeout_minutes", 10)):
+    try:
+        jax.config.update(opt, val)
+    except Exception:
+        pass
 sys.path.insert(0, {repo!r})
 from cpecan_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
@@ -85,22 +94,36 @@ def test_two_process_em_matches_single(tmp_path):
         capture_output=True, text=True, timeout=600, cwd=REPO)
     assert res.returncode == 0, res.stderr[-2000:]
 
-    # 2-process distributed run against the same corpus
-    port = _free_port()
+    # 2-process distributed run against the same corpus.  One retry:
+    # under full-suite xdist load the coordination-service rendezvous can
+    # blow its deadline (timing, not correctness — the round-4 flake);
+    # a genuine numeric/parity failure still fails both attempts below.
     out_model = str(tmp_path / "dist.hmm")
-    procs = []
-    for pid in range(2):
-        argv = _em_argv(fasta, cig, out_model,
-                        extra=["--coordinator", f"127.0.0.1:{port}",
-                               "--numProcesses", "2",
-                               "--processId", str(pid)])
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER.format(repo=REPO, argv=argv)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=REPO))
-    for pr in procs:
-        out, err = pr.communicate(timeout=600)
-        assert pr.returncode == 0, err[-2000:]
+    last_err = None
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            argv = _em_argv(fasta, cig, out_model,
+                            extra=["--coordinator", f"127.0.0.1:{port}",
+                                   "--numProcesses", "2",
+                                   "--processId", str(pid)])
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _WORKER.format(repo=REPO, argv=argv)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                cwd=REPO))
+        rcs, errs = [], []
+        for pr in procs:
+            out, err = pr.communicate(timeout=600)
+            rcs.append(pr.returncode)
+            errs.append(err)
+        if all(rc == 0 for rc in rcs):
+            break
+        last_err = "".join(e[-2000:] for e in errs)
+        deadline = "DEADLINE_EXCEEDED" in last_err or "timed out" in last_err
+        assert attempt == 0 and deadline, last_err
+    else:
+        raise AssertionError(last_err)
 
     ref = Hmm.load(ref_model)
     got = Hmm.load(out_model)
