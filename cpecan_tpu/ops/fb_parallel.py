@@ -495,7 +495,10 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
                         _wf.confirm_tiles(group, chunk, Wb)
                     break
                 except Exception as e:  # VMEM compile OOM: self-heal
-                    smaller = (_wf.shrink_tiles(group, chunk, Wb)
+                    # posterior kernels accept chunk down to NORM_EVERY;
+                    # ultra-wide windows (thousands of lanes) need it
+                    smaller = (_wf.shrink_tiles(group, chunk, Wb,
+                                                _wf.NORM_EVERY)
                                if _wf._is_vmem_oom(e) else None)
                     if smaller is None:
                         raise

@@ -65,7 +65,8 @@ def supported(mode: str) -> bool:
 def seg_chunk(W: int) -> int:
     """Diagonal chunk per grid step (G=1: a single pair rides the
     group/sublane slot, the band W the lanes)."""
-    return max(8, min(_wf.CHUNK, (_wf._envelope() // max(W, 128)) // 8 * 8))
+    return max(8, min(_wf.CHUNK,
+                      (_wf._envelope(max(W, 128)) // max(W, 128)) // 8 * 8))
 
 
 def _prep_window(params, sx_pad, sy_pad, xoff_g, delta_g, jlo_g, jhi_g,

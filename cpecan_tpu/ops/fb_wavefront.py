@@ -1093,10 +1093,13 @@ def _device_kind() -> str:
         return "unknown"
 
 
-def _envelope() -> int:
+def _envelope(We: int = 128) -> int:
     """Current VMEM envelope (cells per stream block): learned value for
-    this device kind if one was recorded, else the v5e default."""
-    kind = _device_kind()
+    this device kind AND lane width if one was recorded, else the v5e
+    default.  Keyed per lane width so a VMEM-OOM heal on an ultra-wide
+    window (streaming long pairs can see thousands of lanes) never
+    throttles the narrow-lane batch shapes."""
+    kind = f"{_device_kind()}|w{int(We)}"
     if kind in _envelope_live:
         return _envelope_live[kind]
     import json
@@ -1112,9 +1115,10 @@ def _envelope() -> int:
     return env
 
 
-def _record_envelope(cells: int) -> None:
-    """Persist a smaller working envelope (on disk, per device kind)."""
-    kind = _device_kind()
+def _record_envelope(cells: int, We: int = 128) -> None:
+    """Persist a smaller working envelope (on disk, per device kind and
+    lane width)."""
+    kind = f"{_device_kind()}|w{int(We)}"
     _envelope_live[kind] = cells
     import json
     import os
@@ -1137,8 +1141,16 @@ def _record_envelope(cells: int) -> None:
 
 def _is_vmem_oom(err: Exception) -> bool:
     msg = str(err)
-    return ("memory space vmem" in msg or "scoped vmem" in msg
-            or "vmem limit" in msg.lower())
+    if ("memory space vmem" in msg or "scoped vmem" in msg
+            or "vmem limit" in msg.lower()):
+        return True
+    # Remote-compile services (the axon tunnel) report compile failures
+    # as an opaque HTTP 500 from the compile helper; the VMEM detail only
+    # reaches the terminal log.  Treat it as shrinkable: the retry loop
+    # is bounded (log2 of the tile sizes) and re-raises if shrinking
+    # never helps, so a genuine compiler bug still surfaces.
+    return ("remote_compile" in msg and "HTTP 500" in msg
+            and "compile" in msg)
 
 
 def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
@@ -1153,7 +1165,7 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     """
     cap = 64 if mode == "expectation" else 128
     We = max(W, 128)  # VMEM blocks pad the lane (W) dimension to 128
-    envelope = _envelope()
+    envelope = _envelope(We)
     best, best_score = 8, 0.0
     g = 8
     while g <= cap and g * 8 * We <= envelope:
@@ -1170,34 +1182,41 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     per_pair = (P + 1 + 64) * S * W * 4
     while group > 1 and group * per_pair > _F_ALL_BUDGET:
         group //= 2
-    # multiple of 8 so the expectation kernel's half-chunk and its 2-row
-    # halo block indexing stay aligned
-    chunk = max(8, min(CHUNK, (envelope // (group * We)) // 8 * 8))
+    # expectation: multiple of 8 so the half-chunk and its 2-row halo
+    # block indexing stay aligned; posterior kernels only need the
+    # NORM_EVERY schedule alignment (ultra-wide streaming windows can
+    # need chunk 4 to fit scoped VMEM at all)
+    q = 8 if mode == "expectation" else NORM_EVERY
+    chunk = max(q, min(CHUNK, (envelope // (group * We)) // q * q))
     return group, chunk
 
 
-def shrink_tiles(group: int, chunk: int, W: int):
+def shrink_tiles(group: int, chunk: int, W: int, min_chunk: int = 8):
     """One VMEM-OOM healing step: halve the larger tile dimension and
     lower the IN-MEMORY envelope so this process's later pick_tiles
     start there.  Returns the new (group, chunk) or None when already
-    minimal.  Nothing is persisted here: callers confirm_tiles() after
-    the shrunk configuration actually compiles, so a transient or
-    kernel-specific OOM cannot permanently throttle the device kind."""
+    minimal.  min_chunk=NORM_EVERY is legal for the posterior kernels
+    (the grid only needs chunk % NORM_EVERY == 0); the expectation
+    kernel's half-chunk halo indexing keeps the default floor of 8.
+    Nothing is persisted here: callers confirm_tiles() after the shrunk
+    configuration actually compiles, so a transient or kernel-specific
+    OOM cannot permanently throttle the device kind."""
     We = max(W, 128)
-    if chunk > 8:
+    if chunk > min_chunk:
         chunk //= 2
     elif group > 8:
         group //= 2
     else:
         return None
-    _envelope_live[_device_kind()] = group * chunk * We
+    _envelope_live[f"{_device_kind()}|w{We}"] = group * chunk * We
     return group, chunk
 
 
 def confirm_tiles(group: int, chunk: int, W: int) -> None:
     """Persist the envelope of a shrunk-and-verified tile configuration
     (called only after the retry compiled and ran)."""
-    _record_envelope(group * chunk * max(W, 128))
+    We = max(W, 128)
+    _record_envelope(group * chunk * We, We)
 
 
 def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
@@ -1258,7 +1277,8 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                 confirm_tiles(group, chunk, W)
             return out
         except Exception as e:  # VMEM compile OOM: shrink tiles and retry
-            smaller = (shrink_tiles(group, chunk, W)
+            min_chunk = 8 if mode == "expectation" else NORM_EVERY
+            smaller = (shrink_tiles(group, chunk, W, min_chunk)
                        if _is_vmem_oom(e) else None)
             if smaller is None:
                 raise
