@@ -1,15 +1,20 @@
 """Exonerate/lastz-style cigar text I/O.
 
-Format (lastz src/cigar.c:22, sonLib cigarRead/cigarWrite interop used at
-cPecanRealign.c:509/593):
+Format (lastz src/cigar.c print_cigar_align :303-310 — note it prints
+name2/query FIRST — as consumed by sonLib cigarRead/cigarWrite interop
+at cPecanRealign.c:509/593):
 
-  cigar: contig1 start1 end1 strand1 contig2 start2 end2 strand2 score \
+  cigar: contig2 start2 end2 strand2 contig1 start1 end1 strand1 score \
          M n D n I n ...
 
-Op semantics: M consumes both sequences; D consumes contig1 (X) only;
-I consumes contig2 (Y) only (lastz print_cigar_align: D advances seq1,
-I advances seq2). Minus strand: start > end, coordinates count backwards
-on the forward strand (half-open, exclusive end).
+The QUERY (lastz's second input, our contig2/Y) leads the line; the
+TARGET (lastz's first input, our contig1/X) follows.  Op semantics:
+M consumes both sequences; D consumes contig1 (X, the target) only;
+I consumes contig2 (Y, the query) only — so in the production pipe
+`cPecanLastz seq1 seq2 | cPecanRealign seq1 seq2` the reference's
+assert(contig1 == "a") and checkPairwiseAlignment both hold.  Minus
+strand: start > end, coordinates count backwards on the forward strand
+(half-open, exclusive end).
 """
 
 from __future__ import annotations
@@ -61,19 +66,20 @@ def cigar_read(fh: TextIO) -> Iterator[PairwiseAlignment]:
             if op not in (MATCH, INDEL_X, INDEL_Y):
                 raise ValueError(f"Bad cigar op {op!r} in: {line}")
             ops.append((op, int(tokens[i + 1])))
+        # the line leads with contig2/query (see module docstring)
         yield PairwiseAlignment(
-            contig1=tokens[1], start1=int(tokens[2]), end1=int(tokens[3]),
-            strand1=tokens[4] == "+",
-            contig2=tokens[5], start2=int(tokens[6]), end2=int(tokens[7]),
-            strand2=tokens[8] == "+",
+            contig2=tokens[1], start2=int(tokens[2]), end2=int(tokens[3]),
+            strand2=tokens[4] == "+",
+            contig1=tokens[5], start1=int(tokens[6]), end1=int(tokens[7]),
+            strand1=tokens[8] == "+",
             score=float(tokens[9]), operations=ops,
         )
 
 
 def cigar_format(pa: PairwiseAlignment) -> str:
     parts = [
-        "cigar:", pa.contig1, str(pa.start1), str(pa.end1), "+" if pa.strand1 else "-",
-        pa.contig2, str(pa.start2), str(pa.end2), "+" if pa.strand2 else "-",
+        "cigar:", pa.contig2, str(pa.start2), str(pa.end2), "+" if pa.strand2 else "-",
+        pa.contig1, str(pa.start1), str(pa.end1), "+" if pa.strand1 else "-",
         f"{pa.score:g}",
     ]
     for op, n in pa.operations:

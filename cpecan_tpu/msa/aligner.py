@@ -71,17 +71,22 @@ class _Weight:
 class WeightGraph:
     """Column adjacency with weight-combining merges and a lazy max-heap."""
 
-    def __init__(self, store: ColumnStore, rng: random.Random):
+    def __init__(self, store: ColumnStore, rng: random.Random,
+                 jitter: float = 0.00001):
         self.store = store
         self.adj: dict[int, dict[int, _Weight]] = {}
         self.heap: list = []
         self.rng = rng
+        self.jitter = jitter
 
     def add_pair(self, prob, seq1, pos1, seq2, pos2):
         c1 = self.store.find_pos(seq1, pos1)
         c2 = self.store.find_pos(seq2, pos2)
-        # jitter breaks ties (reference :145)
-        avg = prob / PAIR_ALIGNMENT_PROB_1 + self.rng.random() * 0.00001
+        # jitter breaks ties (reference :145); the rng draw happens even
+        # at scale 0 so the MT19937 stream stays aligned with the native
+        # decoders' (posetfilter.cpp)
+        avg = (prob / PAIR_ALIGNMENT_PROB_1
+               + self.rng.random() * self.jitter)
         if c1 == c2:
             return
         existing = self.adj.get(c1, {}).get(c2)
@@ -152,10 +157,23 @@ class WeightGraph:
         return c1
 
 
+def _jitter_scale() -> float:
+    """Tie-break jitter scale (reference makeAlignmentWeight :145,
+    1e-5).  CPECAN_TPU_MSA_JITTER overrides it — the C-parity tests set
+    it to 0 alongside the refparity harness's PARITY_ZERO_RANDOM so both
+    implementations break ties deterministically."""
+    import os
+
+    try:
+        return float(os.environ.get("CPECAN_TPU_MSA_JITTER", "1e-5"))
+    except ValueError:
+        return 1e-5
+
+
 def _make_graph(seq_frags, multiple_aligned_pairs, seed=0):
     store = ColumnStore([f.length for f in seq_frags])
     dag = ColumnDag(store)
-    graph = WeightGraph(store, random.Random(seed))
+    graph = WeightGraph(store, random.Random(seed), _jitter_scale())
     for p in multiple_aligned_pairs:
         graph.add_pair(int(p["prob"]), int(p["seq1"]), int(p["pos1"]),
                        int(p["seq2"]), int(p["pos2"]))
@@ -294,7 +312,7 @@ def _progressive_native(seq_frags, multiple_aligned_pairs, match_gamma,
     rng = random.Random(seed)
     jit = np.fromiter((rng.random() for _ in range(len(mp))), np.float64,
                       len(mp))
-    weights = mp["prob"] / PAIR_ALIGNMENT_PROB_1 + jit * 0.00001
+    weights = mp["prob"] / PAIR_ALIGNMENT_PROB_1 + jit * _jitter_scale()
     order = list(reversed(sorted(seq_pair_similarity_scores)))
     ox = np.asarray([s1 for _s, s1, _s2 in order], np.int64)
     oy = np.asarray([s2 for _s, _s1, s2 in order], np.int64)
@@ -368,7 +386,9 @@ def filter_pairwise_alignment_to_make_pairs_ordered(aligned_pairs, seq_x, seq_y,
     the MT19937 tie-break jitter; native/posetfilter.cpp)."""
     from cpecan_tpu.align import native
 
-    if native.available():
+    # the C++ decoder hard-codes the default jitter scale; a non-default
+    # scale (parity tests) routes through the Python oracle path below
+    if native.available() and _jitter_scale() == 1e-5:
         keep = native.filter_pairs_ordered(aligned_pairs, match_gamma)
         return aligned_pairs[keep]
 

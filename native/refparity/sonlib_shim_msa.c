@@ -646,9 +646,11 @@ void checkPairwiseAlignment(struct PairwiseAlignment *pA) {
 }
 
 struct PairwiseAlignment *cigarRead(FILE *fileHandle) {
-    /* Exonerate-style text (io/cigar.py:1-13):
-     * cigar: c1 s1 e1 +/- c2 s2 e2 +/- score [OP LEN]...
-     * M consumes both, D consumes contig1/X, I consumes contig2/Y. */
+    /* Exonerate-style text (lastz print_cigar_align :303-310, mirrored
+     * by io/cigar.py):
+     * cigar: c2 s2 e2 +/- c1 s1 e1 +/- score [OP LEN]...
+     * The QUERY (contig2) leads the line; M consumes both, D consumes
+     * contig1/X (target), I consumes contig2/Y (query). */
     char *line;
     while ((line = stFile_getLineFromFile(fileHandle)) != NULL) {
         stList *tokens = stString_split(line);
@@ -683,12 +685,13 @@ struct PairwiseAlignment *cigarRead(FILE *fileHandle) {
                                 opType, atoll(stList_get(tokens, i + 1)), 0));
         }
         struct PairwiseAlignment *pA = constructPairwiseAlignment(
-            stList_get(tokens, 1), atoll(stList_get(tokens, 2)),
-            atoll(stList_get(tokens, 3)),
-            strcmp(stList_get(tokens, 4), "+") == 0,
+            /* contig1 is the SECOND name on the line */
             stList_get(tokens, 5), atoll(stList_get(tokens, 6)),
             atoll(stList_get(tokens, 7)),
             strcmp(stList_get(tokens, 8), "+") == 0,
+            stList_get(tokens, 1), atoll(stList_get(tokens, 2)),
+            atoll(stList_get(tokens, 3)),
+            strcmp(stList_get(tokens, 4), "+") == 0,
             atof(stList_get(tokens, 9)), ops);
         stList_destruct(tokens);
         return pA;
@@ -698,11 +701,12 @@ struct PairwiseAlignment *cigarRead(FILE *fileHandle) {
 
 void cigarWrite(FILE *fileHandle, struct PairwiseAlignment *pA, int64_t asProbs) {
     (void)asProbs; /* scores-per-op variant unused by cPecanRealign */
+    /* contig2/query leads the line (see cigarRead) */
     fprintf(fileHandle,
             "cigar: %s %" PRIi64 " %" PRIi64 " %c %s %" PRIi64 " %" PRIi64
             " %c %g",
-            pA->contig1, pA->start1, pA->end1, pA->strand1 ? '+' : '-',
             pA->contig2, pA->start2, pA->end2, pA->strand2 ? '+' : '-',
+            pA->contig1, pA->start1, pA->end1, pA->strand1 ? '+' : '-',
             (double)pA->score);
     for (int64_t i = 0; i < pA->operationList->length; i++) {
         struct AlignmentOperation *op = pA->operationList->list[i];

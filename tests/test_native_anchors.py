@@ -74,9 +74,10 @@ def test_lastz_subprocess_parity_mode(tmp_path, monkeypatch):
     (stubbed here) whose cigars are converted exactly like the reference's
     convertPairwiseForwardStrandAlignmentToAnchorPairs."""
     stub = tmp_path / "lastz"
+    # real lastz prints the query (our Y/contig2) first on the line
     stub.write_text(
         "#!/bin/sh\n"
-        "echo 'cigar: a 2 12 + b 3 11 + 57 M 4 D 2 M 4'\n")
+        "echo 'cigar: b 3 11 + a 2 12 + 57 M 4 D 2 M 4'\n")
     stub.chmod(0o755)
     monkeypatch.setenv(anchors.LASTZ_ENV, str(stub))
     got = anchors.get_blast_pairs("ACGT" * 10, "ACGT" * 10, trim=1,
