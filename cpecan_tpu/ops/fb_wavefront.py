@@ -99,6 +99,94 @@ def _shift_r(x):
     return jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Lane packing: several pairs share one 128-lane vector row
+# ---------------------------------------------------------------------------
+#
+# The default-expansion band is ~41 slots wide while the VPU lane tile is
+# 128 wide, so an unpacked kernel wastes ~2/3 of every vector op on lane
+# padding. Packing K = 128 // (W+1) pairs side by side in the lane
+# dimension (each in a `seg = 128 // K`-lane segment, with at least one
+# dead lane between neighbors because seg >= W+1) recovers that loss.
+# The dead/pad lanes carry all-zero emission streams, so the DP values
+# there stay exactly zero and the +-1 lane shifts of the wavefront
+# recursion read the same zeros across a segment boundary that the
+# unpacked kernel's zero-fill shifts produced — numerics are unchanged.
+# Per-pair reductions become segment-local:
+#  * max (normalization): masked shift-doubling suffix-max, then a 0/1
+#    matmul broadcasts each segment's lane-0 value across the segment;
+#  * sum (per-diagonal totals): one 0/1 block-diagonal matmul both sums
+#    and broadcasts;
+#  * per-pair scalar outputs (mf/mb/total): a (We, KE) selection matmul
+#    picks each segment's first lane into a K-wide (padded to KE) lane
+#    block, and its transpose re-expands per-pair scalars (adj streams).
+# The matmuls run at HIGHEST precision so selection/sum stays f32-exact
+# in the mantissa bits the parity tests measure.
+
+
+def _seg_shift_l_by(x, s):
+    return jnp.concatenate(
+        [x[..., s:], jnp.zeros_like(x[..., :s])], axis=-1)
+
+
+def _seg_make_consts(seg: int, We: int, KE: int):
+    """Segment-reduction constants, built from iotas INSIDE the kernel
+    (Pallas forbids captured host constants): the doubling-shift masks,
+    the block-diagonal sum/broadcast matrix M, the segment-start row,
+    and the pick/expand selection matrices."""
+    f32 = jnp.float32
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, We), 1)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (We, We), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (We, We), 1)
+    ei = jax.lax.broadcasted_iota(jnp.int32, (We, KE), 0)
+    ek = jax.lax.broadcasted_iota(jnp.int32, (We, KE), 1)
+    bk = jax.lax.broadcasted_iota(jnp.int32, (KE, We), 0)
+    bj = jax.lax.broadcasted_iota(jnp.int32, (KE, We), 1)
+    masks = []
+    s = 1
+    while s < seg:
+        masks.append(((j % seg) + s < seg).astype(f32))
+        s *= 2
+    return {
+        "masks": masks,
+        "start": (j % seg == 0).astype(f32),
+        "M": (ji // seg == jj // seg).astype(f32),
+        "E": (ei == ek * seg).astype(f32),
+        "Ebc": (bj // seg == bk).astype(f32),
+    }
+
+
+def _seg_dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _seg_max_bcast(v, seg, sc):
+    """Per-segment max of a (G, We) tile, broadcast back across each
+    segment's lanes. Requires v >= 0 (zero is the masked identity)."""
+    s = 1
+    for mask in sc["masks"]:
+        v = jnp.maximum(v, _seg_shift_l_by(v, s) * mask)
+        s *= 2
+    return _seg_dot(v * sc["start"], sc["M"])
+
+
+def _seg_sum_bcast(v, sc):
+    """Per-segment sum of a (G, We) tile, broadcast across each segment."""
+    return _seg_dot(v, sc["M"])
+
+
+def _seg_pick(v, sc):
+    """(G, We) -> (G, KE): lane k*seg (pair k's slot 0) into lane k."""
+    return _seg_dot(v, sc["E"])
+
+
+def _seg_expand(vk, sc):
+    """(G, KE) per-pair scalars -> (G, We) segment-broadcast lanes."""
+    return _seg_dot(vk, sc["Ebc"])
+
+
 def nonzero_transitions(t_log: np.ndarray):
     """Static (class, from, to) triples of active transitions from the
     numpy/host copy of the (3, S, S) log transition tensor."""
@@ -147,7 +235,8 @@ def nonzero_transitions_of(t_dev):
 def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
                 f0_ref, ci2_ref, cim_ref, fout_ref, bv_ref, mf_ref,
                 co1_ref, co2_ref, com_ref,
-                f1_s, f2_s, invm_s, *, S, nz, chunk, fresh=True, phase=0):
+                f1_s, f2_s, invm_s, *, S, nz, chunk, fresh=True, phase=0,
+                seg=None, KE=8):
     """Forward wavefront over one pair group.
 
     fresh=True (batch path / first segment): f0_ref is the diagonal-0
@@ -170,6 +259,8 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
     engines' F/mf streams stay elementwise comparable.
     """
     c = pl.program_id(1)
+    sc = (None if seg is None else
+          _seg_make_consts(seg, ex_ref.shape[-1], KE))
 
     @pl.when(c == 0)
     def _():
@@ -228,13 +319,24 @@ def _fwd_kernel(t_ref, ex_ref, ey_ref, em_ref, a_ref, b1_ref, b0_ref,
         bv_ref[0, i] = bv * invm
 
         if do_norm:
-            m = jnp.max(cur[0], axis=-1, keepdims=True)
-            for t in range(1, S):
-                m = jnp.maximum(m, jnp.max(cur[t], axis=-1, keepdims=True))
-            m = jnp.where(m > 0, m, 1.0)
+            if seg is None:
+                m = jnp.max(cur[0], axis=-1, keepdims=True)
+                for t in range(1, S):
+                    m = jnp.maximum(
+                        m, jnp.max(cur[t], axis=-1, keepdims=True))
+                m = jnp.where(m > 0, m, 1.0)
+                mf_ref[0, i] = jnp.log(m)
+            else:
+                mv = cur[0]
+                for t in range(1, S):
+                    mv = jnp.maximum(mv, cur[t])
+                m = _seg_max_bcast(mv, seg, sc)
+                m = jnp.where(m > 0, m, 1.0)
+                mp = _seg_pick(m, sc)
+                # KE pad lanes (k >= K) pick 0: log-guard them to 0
+                mf_ref[0, i] = jnp.log(jnp.where(mp > 0, mp, 1.0))
             r = 1.0 / m
             F_new = tuple(cur[t] * r for t in range(S))
-            mf_ref[0, i] = jnp.log(m)
             invm_new = jnp.broadcast_to(r, invm.shape)
         else:
             F_new = tuple(cur)
@@ -304,7 +406,7 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
                 bci_refs, post_m_ref, post_x_ref, post_y_ref,
                 mb_ref, tot_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s,
-                *, S, nz, chunk, mode, phase=0):
+                *, S, nz, chunk, mode, phase=0, seg=None, KE=8):
     """Backward+posterior wavefront (high-to-low over grid steps).
 
     bci_refs: optional (bi1, bi2, bii, biem, bibv) carry-in refs holding
@@ -315,6 +417,8 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
     last grid step (the segment's LOWEST row) for the next-lower segment.
     """
     cr = pl.program_id(1)
+    sc = (None if seg is None else
+          _seg_make_consts(seg, efx_ref.shape[-1], KE))
 
     @pl.when(cr == 0)
     def _():
@@ -371,39 +475,67 @@ def _bwd_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, f_ref, bv_ref,
 
         at_end = (pm & _PM_ATEND) != 0  # (G, W), row-constant
         ae_f = at_end.astype(jnp.float32)
-        ae_col = ae_f[:, :1]  # (G, 1) float mask (Mosaic-friendly)
+        # per-pair float mask: a (G, 1) column unpacked (row-constant),
+        # the full lane tile packed (row-constant per segment; dead lanes
+        # read 0 but every value stream there is 0 too)
+        ae_col = ae_f[:, :1] if seg is None else ae_f
         for f in range(S):
             raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
 
         if do_norm:
-            m = jnp.max(raw[0], axis=-1, keepdims=True)
-            for f in range(1, S):
-                m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+            if seg is None:
+                m = jnp.max(raw[0], axis=-1, keepdims=True)
+                for f in range(1, S):
+                    m = jnp.maximum(
+                        m, jnp.max(raw[f], axis=-1, keepdims=True))
+            else:
+                mv = raw[0]
+                for f in range(1, S):
+                    mv = jnp.maximum(mv, raw[f])
+                m = _seg_max_bcast(mv, seg, sc)
             # m := m where (m > 0 and not at_end) else 1, float arithmetic
             good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
             m = m * good + (1.0 - good)
             r = 1.0 / m
             B_new = tuple(raw[f] * r for f in range(S))
-            mb_row = jnp.log(m)
+            if seg is None:
+                mb_row = jnp.log(m)
+            else:
+                mp = _seg_pick(m, sc)
+                mb_row = jnp.log(jnp.where(mp > 0, mp, 1.0))
         else:
             r = jnp.ones_like(ae_col)
             B_new = tuple(raw)
-            mb_row = jnp.zeros_like(ae_col)
+            mb_row = jnp.zeros_like(mb_ref[0, ii])
 
         # per-diagonal total: dot + bridge (reference :636-653)
         F_row = [f_ref[0, ii, s] for s in range(S)]
-        dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
-        for s in range(1, S):
-            dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1, keepdims=True)
         br_sh = jnp.where(bm1, _shift_l(bvn), jnp.where(bm0, bvn, _shift_r(bvn)))
-        bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
-        bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
-        total = dot + bridge * r * bvalid
-        tot_ok = (total > 0).astype(jnp.float32)
-        invt = tot_ok / (total + (1.0 - tot_ok))
+        if seg is None:
+            dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
+            for s in range(1, S):
+                dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1,
+                                    keepdims=True)
+            bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
+            bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
+            total = dot + bridge * r * bvalid
+            tot_ok = (total > 0).astype(jnp.float32)
+            invt = tot_ok / (total + (1.0 - tot_ok))
+            tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
+        else:
+            dvec = F_row[0] * B_new[0]
+            for s in range(1, S):
+                dvec = dvec + F_row[s] * B_new[s]
+            bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)
+            total = _seg_sum_bcast(
+                dvec + br_sh * em_next * B1[0] * r * bvalid, sc)
+            tot_ok = (total > 0).astype(jnp.float32)
+            invt = tot_ok / (total + (1.0 - tot_ok))
+            tk = _seg_pick(total, sc)
+            okk = (tk > 0).astype(jnp.float32)
+            tot_ref[0, ii] = jnp.log(tk + (1.0 - okk)) * okk
 
         mb_ref[0, ii] = mb_row
-        tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
 
         post_m_ref[0, ii] = jnp.where(
             (pm & _PM_MATCH) != 0, F_row[0] * B_new[0] * invt, 0.0)
@@ -463,7 +595,7 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
                 adj1_ref, adj2_ref, wx_ref, wy_ref, bci_refs,
                 mb_ref, tot_ref, trans_ref, emis_ref, bco_refs,
                 b1_s, b2_s, invb_s, emn_s, bvn_s, tacc_s, eacc_s,
-                *, S, nz, chunk, phase=0):
+                *, S, nz, chunk, phase=0, seg=None, KE=8):
     """Same backward recursion as _bwd_kernel plus expected-count
     accumulation (semantics of diagonalCalculationExpectations /
     updateExpectations, reference impl/pairwiseAligner.c:735-746,
@@ -487,6 +619,8 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
     """
     cr = pl.program_id(1)
     nc = pl.num_programs(1)
+    sc = (None if seg is None else
+          _seg_make_consts(seg, efx_ref.shape[-1], KE))
 
     @pl.when(cr == 0)
     def _():
@@ -551,44 +685,75 @@ def _exp_kernel(t_ref, efx_ref, efy_ref, efm_ref, em_ref, ex_ref, ey_ref,
 
         at_end = (pm & _PM_ATEND) != 0
         ae_f = at_end.astype(jnp.float32)
-        ae_col = ae_f[:, :1]
+        ae_col = ae_f[:, :1] if seg is None else ae_f
         for f in range(S):
             raw[f] = jnp.where(at_end, end_ref[0, f], raw[f])
 
         if do_norm:
-            m = jnp.max(raw[0], axis=-1, keepdims=True)
-            for f in range(1, S):
-                m = jnp.maximum(m, jnp.max(raw[f], axis=-1, keepdims=True))
+            if seg is None:
+                m = jnp.max(raw[0], axis=-1, keepdims=True)
+                for f in range(1, S):
+                    m = jnp.maximum(
+                        m, jnp.max(raw[f], axis=-1, keepdims=True))
+            else:
+                mv = raw[0]
+                for f in range(1, S):
+                    mv = jnp.maximum(mv, raw[f])
+                m = _seg_max_bcast(mv, seg, sc)
             good = (m > 0).astype(jnp.float32) * (1.0 - ae_col)
             m = m * good + (1.0 - good)
             r = 1.0 / m
             B_new = [raw[f] * r for f in range(S)]
-            mb_row = jnp.log(m)
+            if seg is None:
+                mb_row = jnp.log(m)
+            else:
+                mp = _seg_pick(m, sc)
+                mb_row = jnp.log(jnp.where(mp > 0, mp, 1.0))
         else:
             r = jnp.ones_like(ae_col)
             B_new = list(raw)
-            mb_row = jnp.zeros_like(ae_col)
+            mb_row = jnp.zeros_like(mb_ref[0, ii])
 
         F_row = [f_ref[0, ii, s] for s in range(S)]
-        dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
-        for s in range(1, S):
-            dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1, keepdims=True)
         br_sh = jnp.where(bm1, _shift_l(bvn), jnp.where(bm0, bvn, _shift_r(bvn)))
-        bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
-        bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
-        total = dot + bridge * r * bvalid
-        tot_ok = (total > 0).astype(jnp.float32)
-        invt = tot_ok / (total + (1.0 - tot_ok))
+        if seg is None:
+            dot = jnp.sum(F_row[0] * B_new[0], axis=-1, keepdims=True)
+            for s in range(1, S):
+                dot = dot + jnp.sum(F_row[s] * B_new[s], axis=-1,
+                                    keepdims=True)
+            bridge = jnp.sum(br_sh * em_next * B1[0], axis=-1, keepdims=True)
+            bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)[:, :1]
+            total = dot + bridge * r * bvalid
+            tot_ok = (total > 0).astype(jnp.float32)
+            invt = tot_ok / (total + (1.0 - tot_ok))
+            tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
+        else:
+            dvec = F_row[0] * B_new[0]
+            for s in range(1, S):
+                dvec = dvec + F_row[s] * B_new[s]
+            bvalid = ((pm & _PM_BRIDGE) != 0).astype(jnp.float32)
+            total = _seg_sum_bcast(
+                dvec + br_sh * em_next * B1[0] * r * bvalid, sc)
+            tot_ok = (total > 0).astype(jnp.float32)
+            invt = tot_ok / (total + (1.0 - tot_ok))
+            tk = _seg_pick(total, sc)
+            okk = (tk > 0).astype(jnp.float32)
+            tot_ref[0, ii] = jnp.log(tk + (1.0 - okk)) * okk
 
         mb_ref[0, ii] = mb_row
-        tot_ref[0, ii] = jnp.log(total + (1.0 - tot_ok)) * tot_ok
 
         # ---- expectation accumulation ----
         a_m = a_ref[0, ii] != 0
         b1_m = b1_ref[0, ii] != 0
         b0_m = b0_ref[0, ii] != 0
-        adj1 = adj1_ref[0, ii]  # (G, 1), zero for k < 1
-        adj2 = adj2_ref[0, ii]  # (G, 1), zero for k < 2
+        # per-pair neighbor scale adjustments, zero for diagonals < 1 / < 2:
+        # (G, 1) columns unpacked, (G, KE) per-pair lanes packed (expanded
+        # to segment-broadcast lane tiles by the selection transpose)
+        adj1 = adj1_ref[0, ii]
+        adj2 = adj2_ref[0, ii]
+        if seg is not None:
+            adj1 = _seg_expand(adj1, sc)
+            adj2 = _seg_expand(adj2, sc)
         exa = ex_ref[0, ii] * adj1
         eya = ey_ref[0, ii] * adj1
         ema = em_own * adj2
@@ -800,15 +965,22 @@ def _group(arr, NG, G):
 @functools.partial(
     jax.jit,
     static_argnames=("nz", "S", "mode", "width", "rows", "interpret",
-                     "chunk", "group"))
+                     "chunk", "group", "pack", "seg"))
 def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
                       ragged_left, ragged_right, nz, S, mode, width, rows,
-                      interpret, chunk, group):
+                      interpret, chunk, group, pack=1, seg=0):
     B = sx.shape[0]
     W = width
     G = group
-    if B % G != 0:
-        padn = (-B) % G
+    K = pack
+    # lane packing (K > 1): K pairs per sublane row, each in a seg-lane
+    # segment; per-pair scalar streams (mf/mb/total/adj) ride KD lanes
+    KD = 1 if K == 1 else ((K + 7) // 8) * 8
+    WL = W if K == 1 else K * seg
+    kseg = None if K == 1 else seg
+    GP = G * K  # pairs per program tile
+    if B % GP != 0:
+        padn = (-B) % GP
         rep = lambda arr: jnp.concatenate(
             [arr] + [arr[-1:]] * padn, axis=0)
         zpad = lambda arr: jnp.concatenate(
@@ -820,7 +992,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         lx, ly = zpad(lx), zpad(ly)
         ragged_left, ragged_right = rep(ragged_left), rep(ragged_right)
     NB = sx.shape[0]
-    NG = NB // G
+    NG = NB // GP
     CHUNK_ = chunk
     NC = rows // CHUNK_
 
@@ -828,10 +1000,26 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         lambda *args: _precompute_one(params, *args, width=W, rows=rows)
     )(sx, sy, offsets, widths, lx, ly, ragged_left, ragged_right)
 
-    g_row = lambda k: _group(pre[k], NG, G)  # (NG, rows, G, [W])
+    if K == 1:
+        g_row = lambda k, fill=0: _group(pre[k], NG, G)  # (NG, rows, G, [W])
+    else:
+        def g_row(key, fill=0):
+            # (NB, rows, W) -> (NG, rows, G, K*seg): pair b = (ng, g, k)
+            # packs into segment k of sublane g; lanes W..seg-1 are dead
+            # (zero emissions keep the DP values there exactly zero)
+            arr = jnp.pad(pre[key], [(0, 0), (0, 0), (0, seg - W)],
+                          constant_values=fill)
+            arr = arr.reshape(NG, G, K, rows, seg)
+            return jnp.transpose(arr, (0, 3, 1, 2, 4)).reshape(
+                NG, rows, G, WL)
     ex, ey, em = g_row("ex"), g_row("ey"), g_row("em")
     a, b1, b0 = g_row("a"), g_row("b1"), g_row("b0")
-    F0 = jnp.transpose(pre["F0"].reshape(NG, G, S, W), (0, 2, 1, 3))
+    if K == 1:
+        F0 = jnp.transpose(pre["F0"].reshape(NG, G, S, W), (0, 2, 1, 3))
+    else:
+        F0 = jnp.pad(pre["F0"], [(0, 0), (0, 0), (0, seg - W)])
+        F0 = jnp.transpose(F0.reshape(NG, G, K, S, seg),
+                           (0, 3, 1, 2, 4)).reshape(NG, S, G, WL)
 
     t_prob = jnp.exp(params["t"]).reshape(3 * S, S)
 
@@ -846,49 +1034,64 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         grid=(NG, NC),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
-            row_spec((W,)), row_spec((W,)), row_spec((W,)),  # ex ey em
-            row_spec((W,)), row_spec((W,)), row_spec((W,)),  # a b1 b0
-            pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+            row_spec((WL,)), row_spec((WL,)), row_spec((WL,)),  # ex ey em
+            row_spec((WL,)), row_spec((WL,)), row_spec((WL,)),  # a b1 b0
+            pl.BlockSpec((1, S, G, WL), lambda g, c: (g, 0, 0, 0),
                          memory_space=vmem),  # F0
         ],
         out_specs=[
-            pl.BlockSpec((1, CHUNK_, S, G, W), lambda g, c: (g, c, 0, 0, 0),
+            pl.BlockSpec((1, CHUNK_, S, G, WL), lambda g, c: (g, c, 0, 0, 0),
                          memory_space=vmem),  # F
-            row_spec((W,)),  # bridgevec
-            row_spec((1,)),  # mf
+            row_spec((WL,)),  # bridgevec
+            row_spec((KD,)),  # mf
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, G, W), jnp.float32),  # F_{k-1}
-            pltpu.VMEM((S, G, W), jnp.float32),  # U_{k-1}
-            pltpu.VMEM((G, 1), jnp.float32),  # 1/m_{k-1}
+            pltpu.VMEM((S, G, WL), jnp.float32),  # F_{k-1}
+            pltpu.VMEM((S, G, WL), jnp.float32),  # U_{k-1}
+            pltpu.VMEM((G, 1 if K == 1 else WL), jnp.float32),  # 1/m_{k-1}
         ],
     )
     def _fwd_wrapper(*refs):
         ins, outs, scr = refs[:8], refs[8:11], refs[11:]
         _fwd_kernel(*ins, None, None, *outs, None, None, None, *scr,
-                    S=S, nz=nz, chunk=CHUNK_, fresh=True)
+                    S=S, nz=nz, chunk=CHUNK_, fresh=True, seg=kseg, KE=KD)
 
     F_all, bridgevec, mf = pl.pallas_call(
         _fwd_wrapper,
         grid_spec=fwd_grid,
         out_shape=[
-            jax.ShapeDtypeStruct((NG, rows, S, G, W), jnp.float32),
-            jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32),
-            jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NG, rows, S, G, WL), jnp.float32),
+            jax.ShapeDtypeStruct((NG, rows, G, WL), jnp.float32),
+            jax.ShapeDtypeStruct((NG, rows, G, KD), jnp.float32),
         ],
         **kp,
     )(t_prob, ex, ey, em, a, b1, b0, F0)
 
-    mf_b = jnp.transpose(mf[..., 0], (0, 2, 1)).reshape(NB, rows)
+    if K == 1:
+        mf_b = jnp.transpose(mf[..., 0], (0, 2, 1)).reshape(NB, rows)
+    else:
+        mf_b = jnp.transpose(mf, (0, 2, 3, 1))[:, :, :K].reshape(NB, rows)
     mf_b = mf_b.at[:, 0].add(pre["m0log"][:, 0])
 
     # forward log prob at diagonal L (end-state dot), per pair
     P = offsets.shape[1] - 1
     L = pre["L"]
     end_vec_rows = pre["end_row"]  # (NB, S, W) — end vec already masked
-    F_rows = jnp.transpose(F_all, (0, 3, 1, 2, 4)).reshape(NB, rows, S, W)
-    FL = jax.vmap(lambda f, l: jax.lax.dynamic_index_in_dim(
-        f, jnp.clip(l, 0, P), axis=0, keepdims=False))(F_rows, L)
+    if K == 1:
+        F_rows = jnp.transpose(F_all, (0, 3, 1, 2, 4)).reshape(
+            NB, rows, S, W)
+        FL = jax.vmap(lambda f, l: jax.lax.dynamic_index_in_dim(
+            f, jnp.clip(l, 0, P), axis=0, keepdims=False))(F_rows, L)
+    else:
+        # gather the per-pair end rows from the packed layout first (one
+        # small (NG, S, G, WL) tensor), then unpack — avoids ever
+        # materializing an unpacked F_all copy
+        Lg = jnp.clip(L, 0, P).reshape(NG, G, K).astype(jnp.int32)
+        Lidx = jnp.repeat(Lg, seg, axis=-1)[:, None, None]  # (NG,1,1,G,WL)
+        FLp = jnp.take_along_axis(
+            F_all, jnp.broadcast_to(Lidx, (NG, 1, S, G, WL)), axis=1)[:, 0]
+        FL = jnp.transpose(FLp.reshape(NG, S, G, K, seg),
+                           (0, 2, 3, 1, 4)).reshape(NB, S, seg)[..., :W]
     # end_row = end_vec * slot_ok; F is zero off-band so the dot matches
     # einsum(F[L], end_vec)
     log_fwd = jnp.log(jnp.einsum("bsw,bsw->b", FL, end_vec_rows,
@@ -901,13 +1104,31 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
     efx, efy, efm = g_row("efx"), g_row("efy"), g_row("efm")
     abw, c1, c0 = g_row("abw"), g_row("c1"), g_row("c0")
     bm1, bm0, pm = g_row("bm1"), g_row("bm0"), g_row("pm")
-    end_row = jnp.transpose(
-        pre["end_row"].reshape(NG, G, S, W), (0, 2, 1, 3))
+    if K == 1:
+        end_row = jnp.transpose(
+            pre["end_row"].reshape(NG, G, S, W), (0, 2, 1, 3))
+    else:
+        end_row = jnp.pad(pre["end_row"], [(0, 0), (0, 0), (0, seg - W)])
+        end_row = jnp.transpose(end_row.reshape(NG, G, K, S, seg),
+                                (0, 3, 1, 2, 4)).reshape(NG, S, G, WL)
+
+    if K == 1:
+        uncol = lambda arr: jnp.transpose(arr[..., 0], (0, 2, 1)).reshape(
+            NB, rows)[:B, :P + 1]
+        unrow = lambda arr: jnp.transpose(arr, (0, 2, 1, 3)).reshape(
+            NB, rows, W)[:B, :P + 1]
+    else:
+        uncol = lambda arr: jnp.transpose(
+            arr, (0, 2, 3, 1))[:, :, :K].reshape(NB, rows)[:B, :P + 1]
+        unrow = lambda arr: jnp.transpose(
+            arr.reshape(NG, rows, G, K, seg),
+            (0, 2, 3, 1, 4)).reshape(NB, rows, seg)[:B, :P + 1, :W]
 
     if mode == "expectation":
         CH = max(8, CHUNK_ // 2)
         NC2 = rows // CH
-        wx, wy = g_row("wx"), g_row("wy")
+        wx = g_row("wx", fill=_fb._SENTINEL)
+        wy = g_row("wy", fill=_fb._SENTINEL)
         ks = jnp.arange(rows)
         # neighbor scale adjustments, zeroed at the boundary rows they
         # must not touch (k<1 for F_{k-1}, k<2 for F_{k-2})
@@ -921,7 +1142,7 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             lambda g, c: (g, NC2 - 1 - c, 0) + (0,) * len(last),
             memory_space=vmem)
         halo_spec = pl.BlockSpec(
-            (1, 2, S, G, W),
+            (1, 2, S, G, WL),
             lambda g, c: (g,
                           jnp.maximum((NC2 - 1 - c) * (CH // 2) - 1, 0),
                           0, 0, 0),
@@ -931,37 +1152,37 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             grid=(NG, NC2),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
-                erow((W,)), erow((W,)), erow((W,)),  # ef*
-                erow((W,)), erow((W,)), erow((W,)),  # em ex ey
-                pl.BlockSpec((1, CH, S, G, W),
+                erow((WL,)), erow((WL,)), erow((WL,)),  # ef*
+                erow((WL,)), erow((WL,)), erow((WL,)),  # em ex ey
+                pl.BlockSpec((1, CH, S, G, WL),
                              lambda g, c: (g, NC2 - 1 - c, 0, 0, 0),
                              memory_space=vmem),  # F
                 halo_spec,  # F halo (rows c*CH-2, c*CH-1)
-                erow((W,)),  # bridgevec
-                erow((W,)), erow((W,)), erow((W,)),  # abw c1 c0
-                erow((W,)), erow((W,)),  # bm1 bm0
-                erow((W,)), erow((W,)), erow((W,)),  # a b1 b0
-                erow((W,)),  # pm
-                pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+                erow((WL,)),  # bridgevec
+                erow((WL,)), erow((WL,)), erow((WL,)),  # abw c1 c0
+                erow((WL,)), erow((WL,)),  # bm1 bm0
+                erow((WL,)), erow((WL,)), erow((WL,)),  # a b1 b0
+                erow((WL,)),  # pm
+                pl.BlockSpec((1, S, G, WL), lambda g, c: (g, 0, 0, 0),
                              memory_space=vmem),  # end rows
-                erow((1,)), erow((1,)),  # adj1 adj2
-                erow((W,)), erow((W,)),  # wx wy
+                erow((KD,)), erow((KD,)),  # adj1 adj2
+                erow((WL,)), erow((WL,)),  # wx wy
             ],
             out_specs=[
-                erow((1,)), erow((1,)),  # mb, total_raw
+                erow((KD,)), erow((KD,)),  # mb, total_raw
                 pl.BlockSpec((1, S, S), lambda g, c: (g, 0, 0),
                              memory_space=vmem),
                 pl.BlockSpec((1, S, 4, 4), lambda g, c: (g, 0, 0, 0),
                              memory_space=vmem),
             ],
             scratch_shapes=[
-                pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+1}
-                pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+2}
-                pltpu.VMEM((G, 1), jnp.float32),  # 1/mb_{k+1}
-                pltpu.VMEM((G, W), jnp.float32),  # em_next
-                pltpu.VMEM((G, W), jnp.float32),  # bridgevec_{k+1}
-                pltpu.VMEM((len(nz), G, W), jnp.float32),  # trans acc
-                pltpu.VMEM((S * 16, G, W), jnp.float32),  # emis acc
+                pltpu.VMEM((S, G, WL), jnp.float32),  # B_{k+1}
+                pltpu.VMEM((S, G, WL), jnp.float32),  # B_{k+2}
+                pltpu.VMEM((G, 1 if K == 1 else WL), jnp.float32),  # 1/mb
+                pltpu.VMEM((G, WL), jnp.float32),  # em_next
+                pltpu.VMEM((G, WL), jnp.float32),  # bridgevec_{k+1}
+                pltpu.VMEM((len(nz), G, WL), jnp.float32),  # trans acc
+                pltpu.VMEM((S * 16, G, WL), jnp.float32),  # emis acc
             ],
         )
         def _exp_wrapper(*refs):
@@ -969,14 +1190,14 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
             outs = refs[24:28]
             scr = refs[28:]
             _exp_kernel(*ins[:9], None, *ins[9:], None, *outs, None, *scr,
-                        S=S, nz=nz, chunk=CH)
+                        S=S, nz=nz, chunk=CH, seg=kseg, KE=KD)
 
         mb, tot, trans, emis = pl.pallas_call(
             _exp_wrapper,
             grid_spec=exp_grid,
             out_shape=[
-                jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
-                jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32),
+                jax.ShapeDtypeStruct((NG, rows, G, KD), jnp.float32),
+                jax.ShapeDtypeStruct((NG, rows, G, KD), jnp.float32),
                 jax.ShapeDtypeStruct((NG, S, S), jnp.float32),
                 jax.ShapeDtypeStruct((NG, S, 4, 4), jnp.float32),
             ],
@@ -984,8 +1205,6 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         )(t_prob, efx, efy, efm, em, ex, ey, F_all, F_all, bridgevec,
           abw, c1, c0, bm1, bm0, a, b1, b0, pm, end_row, adj1, adj2, wx, wy)
 
-        uncol = lambda arr: jnp.transpose(arr[..., 0], (0, 2, 1)).reshape(
-            NB, rows)[:B, :P + 1]
         out["mb"] = uncol(mb)
         out["total_raw"] = uncol(tot)
         out["trans"] = jnp.sum(trans, axis=0)
@@ -1003,24 +1222,24 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         grid=(NG, NC),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # transitions
-            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # ef*
-            rrow_spec((W,)),  # em (own-cell match emissions)
-            pl.BlockSpec((1, CHUNK_, S, G, W),
+            rrow_spec((WL,)), rrow_spec((WL,)), rrow_spec((WL,)),  # ef*
+            rrow_spec((WL,)),  # em (own-cell match emissions)
+            pl.BlockSpec((1, CHUNK_, S, G, WL),
                          lambda g, c: (g, NC - 1 - c, 0, 0, 0),
                          memory_space=vmem),  # F
-            rrow_spec((W,)),  # bridgevec
-            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # abw c1 c0
-            rrow_spec((W,)), rrow_spec((W,)), rrow_spec((W,)),  # bm1 bm0 pm
-            pl.BlockSpec((1, S, G, W), lambda g, c: (g, 0, 0, 0),
+            rrow_spec((WL,)),  # bridgevec
+            rrow_spec((WL,)), rrow_spec((WL,)), rrow_spec((WL,)),  # abw c1 c0
+            rrow_spec((WL,)), rrow_spec((WL,)), rrow_spec((WL,)),  # bm1 bm0 pm
+            pl.BlockSpec((1, S, G, WL), lambda g, c: (g, 0, 0, 0),
                          memory_space=vmem),  # end rows
         ],
-        out_specs=[rrow_spec((W,))] * n_out + [rrow_spec((1,))] * 2,
+        out_specs=[rrow_spec((WL,))] * n_out + [rrow_spec((KD,))] * 2,
         scratch_shapes=[
-            pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+1}
-            pltpu.VMEM((S, G, W), jnp.float32),  # B_{k+2}
-            pltpu.VMEM((G, 1), jnp.float32),  # 1/mb_{k+1}
-            pltpu.VMEM((G, W), jnp.float32),  # em_next
-            pltpu.VMEM((G, W), jnp.float32),  # bridgevec_{k+1}
+            pltpu.VMEM((S, G, WL), jnp.float32),  # B_{k+1}
+            pltpu.VMEM((S, G, WL), jnp.float32),  # B_{k+2}
+            pltpu.VMEM((G, 1 if K == 1 else WL), jnp.float32),  # 1/mb_{k+1}
+            pltpu.VMEM((G, WL), jnp.float32),  # em_next
+            pltpu.VMEM((G, WL), jnp.float32),  # bridgevec_{k+1}
         ],
     )
 
@@ -1032,23 +1251,20 @@ def _fb_wavefront_jit(params, sx, sy, offsets, widths, lx, ly,
         if n_out == 1:
             posts_ = (posts_[0], None, None)
         _bwd_kernel(*ins, None, *posts_, mbr, totr, None, *scr,
-                    S=S, nz=nz, chunk=CHUNK_, mode=mode)
+                    S=S, nz=nz, chunk=CHUNK_, mode=mode, seg=kseg, KE=KD)
 
     *posts, mb_o, tot_o = pl.pallas_call(
         bwd_wrapper,
         grid_spec=bwd_grid,
-        out_shape=[jax.ShapeDtypeStruct((NG, rows, G, W), jnp.float32)] * n_out
-        + [jax.ShapeDtypeStruct((NG, rows, G, 1), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((NG, rows, G, WL), jnp.float32)]
+        * n_out
+        + [jax.ShapeDtypeStruct((NG, rows, G, KD), jnp.float32)] * 2,
         **kp,
     )(t_prob, efx, efy, efm, em, F_all, bridgevec,
       abw, c1, c0, bm1, bm0, pm, end_row)
 
-    uncol = lambda arr: jnp.transpose(arr[..., 0], (0, 2, 1)).reshape(
-        NB, rows)[:B, :P + 1]
     out["mb"] = uncol(mb_o)
     out["total_raw"] = uncol(tot_o)
-    unrow = lambda arr: jnp.transpose(arr, (0, 2, 1, 3)).reshape(
-        NB, rows, W)[:B, :P + 1]
     out["post_match"] = unrow(posts[0])
     if mode == "posterior_all":
         out["post_gap_x"] = unrow(posts[1])
@@ -1153,15 +1369,27 @@ def _is_vmem_oom(err: Exception) -> bool:
             and "compile" in msg)
 
 
-def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
+def pack_factor(W: int) -> int:
+    """Lane-packing factor for band width W: how many pairs share one
+    128-lane row (each in a 128//K-lane segment, dead-lane separated).
+    1 (no packing) for W > 62 or when CPECAN_TPU_NO_PACK is set."""
+    import os
+
+    if W > 62 or os.environ.get("CPECAN_TPU_NO_PACK"):
+        return 1
+    return 128 // (W + 1)
+
+
+def pick_tiles(B: int, W: int, P: int, S: int, mode: str, pack: int = 1):
     """Choose (pair group G, diagonal chunk) for the kernel grid.
 
     G rides the sublane dimension: bigger groups amortize the sequential
     per-diagonal overhead (see _GROUP_SPEED) but pad the batch up to a
-    multiple of G and grow every VMEM block. The score maximizes measured
-    speed x useful fraction of the padded batch, subject to the VMEM
-    envelope; the expectation kernel's per-group accumulators (len(nz) +
-    16*S lane accumulators) cap its group at 64.
+    multiple of G (times the lane-packing factor) and grow every VMEM
+    block. The score maximizes measured speed x useful fraction of the
+    padded batch, subject to the VMEM envelope; the expectation kernel's
+    per-group accumulators (len(nz) + 16*S lane accumulators) cap its
+    group at 64.
     """
     cap = 64 if mode == "expectation" else 128
     We = max(W, 128)  # VMEM blocks pad the lane (W) dimension to 128
@@ -1169,7 +1397,7 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     best, best_score = 8, 0.0
     g = 8
     while g <= cap and g * 8 * We <= envelope:
-        padded = -(-B // g) * g
+        padded = -(-B // (g * pack)) * (g * pack)
         score = _GROUP_SPEED[g] * B / padded
         if score > best_score:
             best, best_score = g, score
@@ -1180,7 +1408,7 @@ def pick_tiles(B: int, W: int, P: int, S: int, mode: str):
     # rows x wide bands); the dispatcher separately slices the batch so
     # the whole-batch F_all stays bounded too
     per_pair = (P + 1 + 64) * S * W * 4
-    while group > 1 and group * per_pair > _F_ALL_BUDGET:
+    while group > 1 and group * per_pair * pack > _F_ALL_BUDGET:
         group //= 2
     # expectation: multiple of 8 so the half-chunk and its 2-row halo
     # block indexing stay aligned; posterior kernels only need the
@@ -1243,14 +1471,17 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
     P = offsets.shape[1] - 1
     W = int(width)
     B = int(sx.shape[0])
-    group, chunk = pick_tiles(B, W, P, S, mode)
+    K = pack_factor(W)
+    seg = 128 // K if K > 1 else 0
+    group, chunk = pick_tiles(B, W, P, S, mode, pack=K)
 
     # The F_all forward intermediate is materialized for the whole batch
     # (B x rows x S x W floats); slice the batch so each device call stays
     # inside the HBM budget (group-sized multiples keep the grid shape —
     # and the compiled executable — identical across slices).
-    per_pair = (P + 1 + 64) * S * W * 4
-    bmax = max(group, (_F_ALL_BUDGET // per_pair) // group * group)
+    per_pair = (P + 1 + 64) * S * (seg if K > 1 else W) * 4
+    gk = group * K
+    bmax = max(gk, (_F_ALL_BUDGET // per_pair) // gk * gk)
     if B > bmax:
         outs = []
         for i in range(0, B, bmax):
@@ -1272,7 +1503,8 @@ def fb_pass_batch_wavefront(params, sx, sy, offsets, widths, lx, ly,
                 jnp.asarray(offsets), jnp.asarray(widths), jnp.asarray(lx),
                 jnp.asarray(ly), jnp.asarray(ragged_left),
                 jnp.asarray(ragged_right),
-                nz, S, mode, W, rows, bool(interpret), chunk, group)
+                nz, S, mode, W, rows, bool(interpret), chunk, group,
+                pack=K, seg=seg)
             if shrunk:
                 confirm_tiles(group, chunk, W)
             return out
