@@ -108,14 +108,18 @@ def _metered_cells(fn) -> int:
 def build_batch(rng):
     """Banded ~1kb pairs: anchors every 50 bp on the identity diagonal with
     the default expansion (the anchored-banded benchmark config)."""
+    from cpecan_tpu.align.pairwise import _width_bucket
+
     sxs, sys_, offs, wids, lxs, lys = [], [], [], [], [], []
     P = 2048
-    W = 128
+    W = None  # product-path width bucket of the band's frame (41 -> 41)
     cells = 0
     for _ in range(BATCH):
         seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=SEQ_LEN))
         anchors = [(i, i) for i in range(25, SEQ_LEN - 25, 50)]
         band = construct_band(anchors, SEQ_LEN, SEQ_LEN, EXPANSION)
+        if W is None:
+            W = _width_bucket(band.frame_width())
         o, w, L = pad_band(band, P, W)
         cells += int(band.widths.sum())
         sx = np.zeros(P, np.int32)
@@ -679,6 +683,13 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny problem sizes (fast correctness check of the "
                          "harness itself; numbers are meaningless)")
+    ap.add_argument("--resume-log", metavar="PATH",
+                    help="reuse per-config JSON progress lines from an "
+                         "earlier (crashed/killed) run's log: configs "
+                         "already recorded there are not re-run. Only "
+                         "lines whose commit context matches are safe to "
+                         "reuse — the caller is responsible for passing a "
+                         "log produced by the same code.")
     args = ap.parse_args()
 
     baseline = measure_c_baseline()
@@ -703,11 +714,28 @@ def main():
         global BATCH
         BATCH = 8
 
+    resumed = {}
+    if args.resume_log:
+        with open(args.resume_log) as fh:
+            for line in fh:
+                line = line.strip()
+                if not (line.startswith("{") and '"name"' in line):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("name") in CONFIGS and "metric" in rec:
+                    resumed[rec["name"]] = rec
+
     names = [args.config] if args.config else list(CONFIGS)
     configs = []
     for name in names:
-        result = CONFIGS[name](baseline, **smoke_kwargs.get(name, {}))
-        result = {"name": name, **result}
+        if name in resumed:
+            result = {**resumed[name], "resumed": True}
+        else:
+            result = CONFIGS[name](baseline, **smoke_kwargs.get(name, {}))
+            result = {"name": name, **result}
         configs.append(result)
         print(json.dumps(result), file=sys.stderr)  # progress
 

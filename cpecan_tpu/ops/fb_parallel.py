@@ -420,9 +420,19 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         locw[w] = max(hi_w - bases[w] + 1, 1)
 
     def _lane_bucket(wl: int) -> int:
+        # Power-of-two width buckets (vs multiples of 128): a repeat-rich
+        # long pair produces windows of wildly varying local width, and
+        # every distinct bucket is a separate remote-compiled executable
+        # (~30-60 s each on the tunneled backend — a killed 500 kb bench
+        # run left 79 _par_slice_jit entries in the persistent cache).
+        # log2 bucketing caps that at ~5 shapes per mode for <=2x lane
+        # padding on the rare wide stretches.
         if W <= 128:
             return W
-        return min(((int(wl) + 127) // 128) * 128, W)
+        b = 128
+        while b < int(wl):
+            b *= 2
+        return min(b, W)
 
     buckets: dict = {}
     for w in range(nW):
@@ -454,7 +464,13 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         for ((ss_sl, base_sl, Kp, Wb, r, _n), cnt) in zip(pending, counts):
             per = []
             for k, (count, row_max) in zip(keys, cnt):
-                cap = 1 << max(6, int(np.ceil(np.log2(max(int(count), 2)))))
+                # coarse capacity ladder (4^n from 4096): every distinct
+                # cap is a separately compiled compaction executable on
+                # the remote backend; the fine pow2 ladder left 40 cached
+                # variants after one long-pair run
+                cap = 4096
+                while cap < int(count):
+                    cap *= 4
                 exact = int(row_max) > compact.DEFAULT_SLOTS
                 per.append(_compact_win_jit(r[k][0], jnp.float32(thr),
                                             cap=cap, exact=exact))
