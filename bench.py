@@ -161,11 +161,59 @@ def bench_headline(baseline: float) -> dict:
     dt = (time.perf_counter() - t0) / reps
 
     cells_per_sec = cells / dt
+
+    # companion: the dense-anchor (cigar-band) regime of realign/EM — one
+    # anchor per matched base gives a ~22-slot frame, where the wavefront
+    # kernel packs K = 128//(W+1) pairs per 128-lane row (the headline's
+    # 50 bp anchor spacing interpolates to an 85-slot frame, too wide to
+    # pack). Reported alongside so the lane-packing win is measured on
+    # the workload shape that actually exhibits it.
+    from cpecan_tpu.align.pairwise import _width_bucket
+    from cpecan_tpu.ops import fb_wavefront
+
+    rng2 = np.random.default_rng(1)
+    sxs, offs, wids = [], [], []
+    P = 2048
+    dense_cells = 0
+    Wd = None
+    for _ in range(BATCH):
+        seq = "".join("ACGT"[i] for i in rng2.integers(0, 4, size=SEQ_LEN))
+        anchors = [(i, i) for i in range(SEQ_LEN)]
+        band = construct_band(anchors, SEQ_LEN, SEQ_LEN, EXPANSION)
+        if Wd is None:
+            Wd = _width_bucket(band.frame_width())
+        o, w, L = pad_band(band, P, Wd)
+        dense_cells += int(band.widths.sum())
+        sx = np.zeros(P, np.int32)
+        sx[:SEQ_LEN] = encode(seq)
+        sxs.append(sx)
+        offs.append(o)
+        wids.append(w)
+    dargs = [jnp.asarray(a) for a in
+             (np.stack(sxs), np.stack(sxs), np.stack(offs), np.stack(wids),
+              np.full(BATCH, SEQ_LEN, np.int32),
+              np.full(BATCH, SEQ_LEN, np.int32), rl, rr)]
+
+    def run_dense():
+        out = fb_batch.fb_pass_batch(params, *dargs, mode="posterior_match",
+                                     width=Wd)
+        return jnp.sum(out["post_match"])
+
+    float(run_dense())
+    t0 = time.perf_counter()
+    outs = [run_dense() for _ in range(reps)]
+    float(outs[-1])
+    dt_d = (time.perf_counter() - t0) / reps
+
     return {
         "metric": "pairhmm_dp_cells_per_sec_per_chip",
         "value": round(cells_per_sec),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_sec / baseline, 2),
+        "dense_band_cells_per_sec": round(dense_cells / dt_d),
+        "dense_band_vs_baseline": round(dense_cells / dt_d / baseline, 2),
+        "dense_band_width": Wd,
+        "dense_band_pack_factor": fb_wavefront.pack_factor(Wd),
     }
 
 
