@@ -481,7 +481,18 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
     for Wb in sorted(buckets):
         wins = buckets[Wb]
         nWb = len(wins)
-        group, chunk = _wf.pick_tiles(nWb, Wb, K + 2 * B, S, mode)
+        # Pin (group, chunk) per lane bucket instead of pick_tiles'
+        # batch-scored choice: the score varies with every chunk's window
+        # count, and each distinct (group, chunk) is another 30-60 s
+        # remote-compiled executable. Two group tiers keep the
+        # _GROUP_SPEED win for many-window pairs at bounded shape count.
+        group = 64 if nWb >= 64 else 8
+        We_b = max(Wb, 128)
+        env_b = _wf._envelope(We_b)
+        while group > 8 and group * 8 * We_b > env_b:
+            group //= 2
+        q = 8 if mode == "expectation" else _wf.NORM_EVERY
+        chunk = max(q, min(_wf.CHUNK, (env_b // (group * We_b)) // q * q))
         Kp = -(-(K + 2 * B) // chunk) * chunk
         nWbp = -(-nWb // group) * group
         ss_b = np.full(nWbp, rows_total, np.int32)
@@ -492,9 +503,34 @@ def fb_pass_parallel(params, seq_x_codes, seq_y_codes,
         base_b[:nWb] = bases[wins]
         per_win = Kp * S * Wb * 4
         wmax = max(group, (_F_BUDGET // per_win) // group * group)
+        # pow2 slice ladder: a varying last-slice length would otherwise
+        # compile one executable per distinct window count
+        w2 = group
+        while w2 * 2 <= wmax:
+            w2 *= 2
+        wmax = w2
         shrunk = False
         for lo in range(0, nWbp, wmax):
             hi = min(lo + wmax, nWbp)
+            n_sl = hi - lo
+            ns = group
+            while ns < n_sl:
+                ns *= 2
+            if ns > n_sl:
+                # pad the slice to its pow2 size with inactive windows
+                # (ss/k0 = rows_total: empty band rows, no-op like the
+                # nWbp group padding above)
+                pad_n = ns - n_sl
+                ss_b = np.concatenate(
+                    [ss_b[:hi], np.full(pad_n, rows_total, np.int32),
+                     ss_b[hi:]])
+                k0_b = np.concatenate(
+                    [k0_b[:hi], np.full(pad_n, rows_total, np.int32),
+                     k0_b[hi:]])
+                base_b = np.concatenate(
+                    [base_b[:hi], np.zeros(pad_n, np.int32), base_b[hi:]])
+                hi = lo + ns
+                nWbp += pad_n
             while True:
                 try:
                     r = _par_slice_jit(
